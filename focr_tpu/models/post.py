@@ -1,0 +1,80 @@
+"""NCC hit post-processing — the 3-step pipeline of reference README.md:48-52.
+
+This host-side code IS the production post-processor (SURVEY.md §7 stage 5:
+parity outranks elegance; the hit counts are tiny). Semantics replicated from
+process_hits/partition_by (reference src/ncc.rs:723-786, 1036-1052):
+
+  1. anchor filter: keep the exact y's that have any hit with
+     f32 similarity >= anchor_threshold                    (ncc.rs:724-739)
+  2. stable sort by y, partition on exact y equality        (ncc.rs:741-752)
+  3. per line: stable sort by x, partition into runs — each run is ANCHORED
+     AT ITS FIRST ELEMENT (partition_by never updates `last` inside a run,
+     ncc.rs:1036-1052), members satisfy |x_first - x| <= overlap — then keep
+     the max-similarity hit per run, LAST max wins ties (Rust max_by with
+     total_cmp returns the last maximal element, ncc.rs:753-766).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, TypeVar
+
+import numpy as np
+
+from focr_tpu.models.types import MatchWithLetter
+
+T = TypeVar("T")
+
+
+def partition_by(xs: Sequence[T], pred: Callable[[T, T], bool]) -> list[tuple[int, int]]:
+    """Reference partition_by (ncc.rs:1036-1052).
+
+    Splits ``xs`` into half-open index runs. The comparison element (`last`)
+    is only updated when a run closes, so every element is compared against
+    the FIRST element of its run — not its predecessor.
+    Returns [] for empty input (the reference panics; nothing to partition).
+    """
+    if len(xs) == 0:
+        return []
+    slices: list[tuple[int, int]] = []
+    i = 0
+    j = 0
+    last = xs[0]
+    for next_ in xs[1:]:
+        j += 1
+        if not pred(last, next_):
+            slices.append((i, j))
+            i = j
+            last = next_
+    slices.append((i, j + 1))
+    return slices
+
+
+def process_hits(
+    all_hits: Sequence[MatchWithLetter],
+    anchor_threshold: float,
+    overlap: int,
+) -> list[list[MatchWithLetter]]:
+    """Reference process_hits (ncc.rs:723-786). Returns text lines of hits."""
+    anchor_f32 = np.float32(anchor_threshold)
+    keep_y = {h.y for h in all_hits if np.float32(h.similarity) >= anchor_f32}
+    hits = [h for h in all_hits if h.y in keep_y]
+    if not hits:
+        return []
+
+    hits.sort(key=lambda m: m.y)  # stable, like Rust sort_by_key
+    line_slices = partition_by(hits, lambda a, b: a.y == b.y)
+    lines: list[list[MatchWithLetter]] = []
+    for i, j in line_slices:
+        line = sorted(hits[i:j], key=lambda m: m.x)  # stable
+        dup_slices = partition_by(line, lambda a, b: abs(a.x - b.x) <= overlap)
+        dedup: list[MatchWithLetter] = []
+        for di, dj in dup_slices:
+            best = line[di]
+            best_sim = np.float32(best.similarity)
+            for m in line[di + 1 : dj]:
+                sim = np.float32(m.similarity)
+                if sim >= best_sim:  # last max wins (Rust max_by semantics)
+                    best, best_sim = m, sim
+            dedup.append(best)
+        lines.append(dedup)
+    return lines

@@ -1,0 +1,30 @@
+"""Test configuration: force CPU JAX with an 8-device virtual mesh.
+
+Must run before the first ``import jax`` anywhere (SURVEY.md §4: CPU-only CI
+via jax[cpu] + virtual devices; the driver separately dry-runs multi-chip).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+DEJAVU_MONO = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
+DEJAVU_SANS = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+
+@pytest.fixture(scope="session")
+def mono_font_path() -> str:
+    return DEJAVU_MONO
+
+
+@pytest.fixture(scope="session")
+def sans_font_path() -> str:
+    return DEJAVU_SANS
