@@ -1,0 +1,63 @@
+"""Exact-integer SSD scoring ops for the focr grid decoder.
+
+The reference scores each candidate glyph with an i64 SSD over the whole line
+canvas (main.rs:87-110, 510-516). Expanding ||I - T||^2 = ||I||^2 - 2 I.T
++ ||T||^2 and dropping the template-independent ||I||^2, the argmin over
+templates is exactly argmin_T (||T||^2 - 2 I.T) — computed here as one batched
+matmul over the MXU.
+
+Exactness argument (why bf16 matmul is bit-exact here): pixel values are u8
+(<= 255 = 8 bits), losslessly representable in bf16's 8-bit mantissa; the MXU
+multiplies at full precision and accumulates in f32, and every partial sum is
+a non-negative integer bounded by n*255^2.  While n*65025 < 2^24 every
+intermediate is exactly representable, so the f32 result equals the integer
+dot product.  Beyond that bound we split the template into 4-bit nibbles
+(T = 16*Th + Tl, terms bounded by n*255*15) and recombine in i32 — exact for
+any realistic template size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EXACT_F32_LIMIT = 1 << 24
+
+
+def _dot_brcpq_cgpq(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
+    """einsum('brcpq,cgpq->brcg') in bf16 with f32 accumulation."""
+    return jnp.einsum(
+        "brcpq,cgpq->brcg",
+        wins.astype(jnp.bfloat16),
+        tmpl.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def exact_corr(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
+    """Exact integer correlation I.T.
+
+    wins: [B, R, C, p, q] integer-valued (inverted image windows, 0..255)
+    tmpl: [C, G, p, q] u8 templates
+    returns: [B, R, C, G] i32, exactly sum(I*T) per (cell, glyph)
+    """
+    p, q = tmpl.shape[-2], tmpl.shape[-1]
+    n = p * q
+    if n * 65025 < _EXACT_F32_LIMIT:
+        return _dot_brcpq_cgpq(wins, tmpl).astype(jnp.int32)
+    hi = jnp.right_shift(tmpl.astype(jnp.int32), 4)
+    lo = jnp.bitwise_and(tmpl.astype(jnp.int32), 15)
+    acc_hi = _dot_brcpq_cgpq(wins, hi).astype(jnp.int32)
+    acc_lo = _dot_brcpq_cgpq(wins, lo).astype(jnp.int32)
+    return acc_hi * 16 + acc_lo
+
+
+def ssd_metric(wins: jax.Array, tmpl: jax.Array, tsq: jax.Array) -> jax.Array:
+    """[B, R, C, G] i32 metric = ||T||^2 - 2 I.T (equi-argmin with full SSD)."""
+    return tsq[None, None] - 2 * exact_corr(wins, tmpl)
+
+
+def argmin_glyph(metric: jax.Array) -> jax.Array:
+    """First-minimum argmin over the glyph axis (Rust min_by_key, main.rs:159)."""
+    return jnp.argmin(metric, axis=-1).astype(jnp.int32)

@@ -1,0 +1,90 @@
+"""GridDecoder (device path) vs the NumPy oracle: exact parity."""
+
+import numpy as np
+import pytest
+
+from focr_tpu.fonts.ft import Face
+from focr_tpu.io.synth import synthesize_page
+from focr_tpu.models.focr import GridDecoder, decode_pages
+from focr_tpu.models.types import DecodeOptions, FOCR_DEFAULT_ALPHABET, RenderOptions
+from focr_tpu.oracle import focr_oracle
+from tests.test_focr_oracle import width_for_cells
+
+
+@pytest.fixture(scope="module")
+def mono(mono_font_path):
+    return Face(mono_font_path)
+
+
+ALPHABET = FOCR_DEFAULT_ALPHABET
+
+
+def assert_parity(pages, mono, dopts, ropts):
+    dec = GridDecoder(mono, ALPHABET, dopts, ropts, pages[0].shape)
+    got = dec.decode_batch(np.stack(pages))
+    for i, page in enumerate(pages):
+        want = focr_oracle.decode_image(page, mono, ALPHABET, dopts, ropts)
+        assert [(l.text, l.y) for l in got[i]] == [(l.text, l.y) for l in want], f"page {i}"
+
+
+def test_synthetic_pages_parity(mono):
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(
+        x_start=7, y_start=5, line_height=12, line_advance=15,
+        width=width_for_cells(mono, ropts, 6),
+    )
+    rng = np.random.default_rng(0)
+    chars = list(ALPHABET)
+    pages = []
+    for _ in range(3):
+        lines = ["".join(rng.choice(chars, size=6)) for _ in range(3)]
+        pages.append(
+            synthesize_page(mono, lines, dopts, ropts, ALPHABET, (64, 80), blank_rows={1})
+        )
+    assert_parity(pages, mono, dopts, ropts)
+
+
+def test_noise_pages_parity(mono):
+    """Random noise exercises argmin tie-breaks and arbitrary pixel content."""
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(x_start=3, y_start=2, line_height=12, line_advance=15, width=30)
+    rng = np.random.default_rng(1)
+    pages = [
+        rng.integers(0, 256, size=(50, 44), dtype=np.uint8) for _ in range(2)
+    ]
+    # include near-white noise (partially white rows, near-ties)
+    pages.append(np.clip(rng.integers(250, 260, size=(50, 44)), 0, 255).astype(np.uint8))
+    assert_parity(pages, mono, dopts, ropts)
+
+
+def test_partial_bottom_row_parity(mono):
+    """Page height chosen so the last scan row is a partial crop."""
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(x_start=2, y_start=3, line_height=12, line_advance=15, width=40)
+    rng = np.random.default_rng(2)
+    # rows at y=3,18,33,48; H=55 -> last row crop height 55-48=7 (partial)
+    pages = [rng.integers(0, 256, size=(55, 50), dtype=np.uint8) for _ in range(2)]
+    assert_parity(pages, mono, dopts, ropts)
+
+
+def test_zero_width_crop(mono):
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(x_start=100, y_start=0, line_height=12, line_advance=15, width=40)
+    page = np.zeros((40, 50), dtype=np.uint8)
+    dec = GridDecoder(mono, ALPHABET, dopts, ropts, page.shape)
+    assert dec.decode_batch(page[None]) == [[]]
+
+
+def test_decode_pages_multi_shape(mono):
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(
+        x_start=4, y_start=4, line_height=12, line_advance=15,
+        width=width_for_cells(mono, ropts, 5),
+    )
+    p1 = synthesize_page(mono, ["Hello"], dopts, ropts, ALPHABET, (40, 60))
+    p2 = synthesize_page(mono, ["world"], dopts, ropts, ALPHABET, (55, 70))
+    p3 = synthesize_page(mono, ["again"], dopts, ropts, ALPHABET, (40, 60))
+    res = decode_pages([p1, p2, p3], mono, ALPHABET, dopts, ropts)
+    assert [l.text for l in res[0]] == ["Hello"]
+    assert [l.text for l in res[1]] == ["world"]
+    assert [l.text for l in res[2]] == ["again"]
