@@ -1,0 +1,93 @@
+"""focr CLI — flag/semantics parity with the reference binary (main.rs:342-508).
+
+stdout carries ONLY decoded text lines; every diagnostic goes to stderr
+(the contract that makes `focr ... | sed | base64 -d` work, SURVEY.md §5.5).
+
+TPU-only additions (default sanely, absent flags behave like the reference):
+  --batch-size  pages per device batch
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from focr_tpu.fonts.ft import Face, HintingOptions
+from focr_tpu.models.types import DecodeOptions, FOCR_DEFAULT_ALPHABET, RenderOptions
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="focr", description="grid SSD font OCR (TPU-native)")
+    p.add_argument("-i", "--img", action="extend", nargs="+", default=[], required=True)
+    p.add_argument("-f", "--font", required=True)
+    p.add_argument("-a", "--alphabet", default=FOCR_DEFAULT_ALPHABET)
+    p.add_argument("--hinting", action="store_true")
+    p.add_argument("-t", "--text-size", type=float, required=True)
+    p.add_argument("-k", "--kerning", type=float, default=1.0)
+    p.add_argument("-x", type=int, default=0)
+    p.add_argument("-y", type=int, default=0)
+    p.add_argument("-w", "--width", type=int, required=True)
+    p.add_argument("--line-height", type=int, required=True)
+    p.add_argument("--line-advance", type=int, required=True)
+    p.add_argument("--test", default=None, metavar="PREFIX",
+                   help="write <prefix>-rect.png and <prefix>-text.png, then exit")
+    p.add_argument("--verify", default=None, metavar="DIR",
+                   help="dir for verify images. Red is reference, Blue is rendered")
+    p.add_argument("--batch-size", type=int, default=16, help="pages per device batch")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.verify is not None:
+        assert os.path.isdir(args.verify), "--verify should be a dir"
+
+    hinting = HintingOptions(full=True, size=args.text_size) if args.hinting else HintingOptions()
+    ropts = RenderOptions(size=args.text_size, hinting=hinting, kern_x=args.kerning)
+    dopts = DecodeOptions(
+        x_start=args.x,
+        y_start=args.y,
+        width=args.width,
+        line_height=args.line_height,
+        line_advance=args.line_advance,
+    )
+
+    from focr_tpu.io.images import load_gray, load_gray_many, save_rgb, save_rgba
+
+    if args.test is not None:
+        from focr_tpu.io.overlays import draw_test_rectangles, draw_test_text
+
+        img = load_gray(args.img[0])
+        save_rgba(f"{args.test}-rect.png", draw_test_rectangles(img, dopts))
+        face = Face(args.font)
+        save_rgba(f"{args.test}-text.png", draw_test_text(face, args.alphabet, img, ropts))
+        return 0
+
+    face = Face(args.font)
+    pages = load_gray_many(args.img)
+
+    from focr_tpu.models.focr import decode_pages
+
+    results = decode_pages(pages, face, args.alphabet, dopts, ropts, batch_size=args.batch_size)
+
+    if args.verify is not None:
+        from focr_tpu.io.overlays import draw_verify, red_blue_mse
+
+        for img_path, page, lines in zip(args.img, pages, results):
+            overlay = draw_verify(page, lines, face, dopts, ropts)
+            stem = os.path.splitext(os.path.basename(img_path))[0] + ".png"
+            save_rgb(os.path.join(args.verify, stem), overlay)
+            diff = red_blue_mse(overlay)
+            print(f"{img_path} {diff:.6f}", file=sys.stderr)
+
+    out = sys.stdout
+    for lines in results:
+        for line in lines:
+            print(line.text, file=out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
