@@ -1,0 +1,21 @@
+"""focr_tpu — TPU-native rebuild of aconz2/font-ocr (reference at /root/reference).
+
+Layers (SURVEY.md §1 re-layering):
+  fonts/     L1 host font layer: ctypes FreeType + startup template banks
+  ops/       L2/L3 device kernels: exact-integer SSD + NCC (XLA + Pallas)
+  models/    L4 decode engines: focr grid decoder, ncc matcher, post-processing
+  parallel/  L5 page-mesh scale-out (shard_map over jax.sharding.Mesh)
+  io/        L0 image I/O, overlays, synthetic corpora
+  cli/       L6 flag-parity focr/ncc command-line entry points
+  oracle/    stage-0 NumPy reference semantics (test oracle)
+  native/    C++ host fallback kernel (differential oracle for the device path)
+"""
+
+import jax as _jax
+
+# int64 is required for exact full-page integral arithmetic on large pages
+# (sum-of-squares cumsums exceed 2^31). All device float math remains
+# explicitly f32/bf16 — no f64 ever reaches the TPU.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

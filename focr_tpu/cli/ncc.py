@@ -1,0 +1,129 @@
+"""ncc CLI — flag/semantics parity with the reference binary (ncc.rs:486-542, 788-878).
+
+stdout: decoded text lines (or --csv rows, or --raw hit dumps); stderr: all
+diagnostics. --rust routes to the host differential oracle, exactly like the
+reference's flag switches between the C and Rust kernels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from focr_tpu.fonts.ft import Face, HintingOptions
+from focr_tpu.models.types import BoxSize, NCC_DEFAULT_ALPHABET, RenderOptions
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ncc", description="NCC template-matching OCR (TPU-native)")
+    p.add_argument("-i", "--img", action="extend", nargs="+", default=[], required=True)
+    p.add_argument("-f", "--font", required=True)
+    p.add_argument("-t", "--text-size", type=float, required=True)
+    p.add_argument("--x-bits", type=int, default=0)
+    p.add_argument("--y-bits", type=int, default=0)
+    p.add_argument("--hinting", action="store_true")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--anchor-threshold", type=float, default=0.95)
+    p.add_argument("--overlap", type=int, default=5)
+    p.add_argument("-a", "--alphabet", default=NCC_DEFAULT_ALPHABET)
+    p.add_argument("--box-size", default="alphabet")
+    p.add_argument("--x-padding", type=int, default=0)
+    p.add_argument("--y-padding", type=int, default=0)
+    p.add_argument("--save-letters", action="store_true")
+    p.add_argument("--rust", action="store_true",
+                   help="use the host differential-oracle kernel instead of the device path")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--csv", action="store_true")
+    p.add_argument("--raw", action="store_true")
+    return p
+
+
+def _verbose_metrics(face: Face, alphabet: str, text_size: float) -> None:
+    """Font metrics dump (ncc.rs:791-831)."""
+    m = face.metrics
+    to_px = (1.0 / m.units_per_em) * text_size
+    line_space = m.ascent - m.descent + m.line_gap
+    print(
+        f"metrics Metrics {{ units_per_em: {m.units_per_em}, ascent: {m.ascent}, "
+        f"descent: {m.descent}, line_gap: {m.line_gap}, "
+        f"bounding_box: {m.bounding_box} }}",
+        file=sys.stderr,
+    )
+    print(f"ascent  {m.ascent * to_px}px", file=sys.stderr)
+    print(f"descent {m.descent * to_px}px", file=sys.stderr)
+    bb = m.bounding_box
+    print(f"font_bbox size ({bb.width * to_px}, {bb.height * to_px})px", file=sys.stderr)
+    print(f"line_space {line_space} {line_space * to_px}px", file=sys.stderr)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    hinting = HintingOptions(full=True, size=args.text_size) if args.hinting else HintingOptions()
+    ropts = RenderOptions(size=args.text_size, hinting=hinting)
+    box = BoxSize.parse(args.box_size)
+
+    face = Face(args.font)
+    if args.verbose:
+        _verbose_metrics(face, args.alphabet, args.text_size)
+
+    from focr_tpu.io.images import load_gray, save_gray
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.post import process_hits
+
+    matcher = NccMatcher(
+        face,
+        args.alphabet,
+        ropts,
+        box_size=box,
+        x_bits=args.x_bits,
+        y_bits=args.y_bits,
+        padding=(args.x_padding, args.y_padding),
+        threshold=args.threshold,
+    )
+
+    if args.save_letters:
+        os.makedirs("letters", exist_ok=True)
+        for nd in matcher.needles:
+            x = int(nd.offset[0] * 1000.0)
+            y = int(nd.offset[1] * 1000.0)
+            inv = (255 - nd.pixels.astype(np.int32)).astype(np.uint8)
+            save_gray(f"letters/{nd.letter}-{x}_{y}.png", inv)
+
+    get = matcher.get_hits_oracle if args.rust else matcher.get_hits
+
+    if args.raw:
+        assert len(args.img) == 1
+        page = load_gray(args.img[0])
+        get(page, verbose=args.verbose, raw=True, out=sys.stdout)
+        return 0
+
+    pages_out = []
+    for i, path in enumerate(args.img):
+        page = load_gray(path)
+        hits = get(page, verbose=args.verbose)
+        lines = process_hits(hits, args.anchor_threshold, args.overlap)
+        pages_out.append((i, lines))
+
+    if args.csv:
+        for i, lines in pages_out:
+            for line in lines:
+                for m in line:
+                    from focr_tpu.models.ncc import _f32
+
+                    cx, cy = m.center
+                    print(
+                        f"{i},{ord(m.letter)},{_f32(cx)},{_f32(cy)},{m.x},{m.y},{m.w},{m.h}"
+                    )
+    else:
+        for _, lines in pages_out:
+            for line in lines:
+                print("".join(m.letter for m in line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,269 @@
+"""The ncc template matcher, TPU-native.
+
+Replaces the reference's per-needle AVX2 sweep (Searcher + ncc.cpp, SURVEY.md
+§3.2) with one device pass per needle-size group computing ALL letters ×
+subpixel offsets simultaneously, then an exact host-side f64 replay of the
+similarity decision per candidate (TPU has no f64; the candidate integers are
+exact so the replay is bit-identical to ncc.cpp:206-247).
+
+Per page:
+  invert -> [per size group] conv-correlate bank + window stats + ε-thresholded
+  candidate compaction (ops/ncc.py) -> host f64 accept/reject + MAX_MATCHES
+  scan-order cap (ncc.cpp:222-229) -> hits in reference iteration order
+  (offsets outer, letters inner — ncc.rs:587-655) -> process_hits
+  (models/post.py).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from focr_tpu.fonts.bank import Needle, build_needles
+from focr_tpu.fonts.ft import Face
+from focr_tpu.models.types import MAX_MATCHES, BoxSize, MatchWithLetter, RenderOptions
+from focr_tpu.ops import ncc as ncc_ops
+
+_CAP = MAX_MATCHES + 1024  # device candidate capacity (ε superset of matches)
+
+
+@dataclass(frozen=True)
+class _Group:
+    nh: int
+    nw: int
+    needle_ids: list[int]  # indices into the needle list, original order
+    bank: np.ndarray  # [T, nh, nw] u8
+    s_n: np.ndarray  # [T] i64
+    s2_n: np.ndarray  # [T] i64
+
+
+def _group_needles(needles: list[Needle]) -> list[_Group]:
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, nd in enumerate(needles):
+        groups.setdefault(nd.pixels.shape, []).append(i)
+    out = []
+    for (nh, nw), ids in groups.items():
+        out.append(
+            _Group(
+                nh=nh,
+                nw=nw,
+                needle_ids=ids,
+                bank=np.stack([needles[i].pixels for i in ids]),
+                s_n=np.array([needles[i].s_n for i in ids], dtype=np.int64),
+                s2_n=np.array([needles[i].s2_n for i in ids], dtype=np.int64),
+            )
+        )
+    return out
+
+
+def exact_similarities(
+    acc: np.ndarray, sp: np.ndarray, s2p: np.ndarray, s_n: int, s2_n: int, n: int
+) -> np.ndarray:
+    """The reference's f64 similarity, computed from exact integers.
+
+    Mirrors ncc.cpp:233-238 (and the precompute ncc.rs:306-312):
+      rnorm_p = 1/sqrt(s2p - sp*sp/n)        [division by n]
+      num     = acc - (s_n*s_p) * (1/n)      [multiplication by 1/n]
+      sim     = num * (rnorm_n * rnorm_p)
+    """
+    nf = np.float64(n)
+    n_recip = np.float64(1.0) / nf
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rnorm_n = np.float64(1.0) / np.sqrt(np.float64(s2_n) - np.float64(s_n * s_n) / nf)
+        norm_p = s2p.astype(np.float64) - (sp.astype(np.float64) * sp.astype(np.float64)) / nf
+        rnorm_p = np.float64(1.0) / np.sqrt(norm_p)
+        num = acc.astype(np.float64) - (np.float64(s_n) * sp.astype(np.float64)) * n_recip
+        return num * (rnorm_n * rnorm_p)
+
+
+class NccMatcher:
+    """One (font, size, alphabet, offsets, box policy) matching configuration."""
+
+    def __init__(
+        self,
+        face: Face,
+        alphabet: str,
+        ropts: RenderOptions,
+        box_size: BoxSize = BoxSize.ALPHABET,
+        x_bits: int = 0,
+        y_bits: int = 0,
+        padding: tuple[int, int] = (0, 0),
+        threshold: float = 0.8,
+    ):
+        self.face = face
+        self.alphabet = alphabet
+        self.ropts = ropts
+        self.threshold = float(threshold)
+        self.needles = build_needles(face, alphabet, ropts, box_size, x_bits, y_bits, padding)
+        self.groups = _group_needles(self.needles)
+
+    def get_hits(
+        self,
+        page: np.ndarray,
+        verbose: bool = False,
+        raw: bool = False,
+        out=None,
+    ) -> list[MatchWithLetter]:
+        """Device search + exact host recheck; hits in reference order
+        (get_hits, ncc.rs:544-721)."""
+        H, W = page.shape
+        inv = (255 - page.astype(np.int32)).astype(np.uint8)
+        inv_j = jnp.asarray(inv)
+        thr_f32 = np.float32(self.threshold)
+        thr_f64 = np.float64(thr_f32)
+
+        per_needle: dict[int, list[MatchWithLetter]] = {}
+        t00 = time.perf_counter()
+        oracle_searcher = None
+        for grp in self.groups:
+            n = grp.nh * grp.nw
+            if grp.nh >= H or grp.nw >= W:
+                for i in grp.needle_ids:
+                    per_needle[i] = []
+                continue
+            t0 = time.perf_counter()
+            idx, acc, sp, s2p, counts = ncc_ops.ncc_candidates(
+                inv_j,
+                jnp.asarray(grp.bank),
+                jnp.asarray(grp.s_n),
+                jnp.asarray(grp.s2_n),
+                jnp.asarray(thr_f32),
+                nw=grp.nw,
+                nh=grp.nh,
+                cap=_CAP,
+            )
+            idx, acc, sp, s2p, counts = (
+                np.asarray(idx),
+                np.asarray(acc),
+                np.asarray(sp),
+                np.asarray(s2p),
+                np.asarray(counts),
+            )
+            elapsed = time.perf_counter() - t0
+            W2 = W - grp.nw
+            cap_eff = idx.shape[1]
+            for ti, i in enumerate(grp.needle_ids):
+                nd = self.needles[i]
+                if counts[ti] > cap_eff:
+                    # candidate overflow (pathological): exact host fallback
+                    from focr_tpu.oracle.ncc_oracle import Searcher
+
+                    if oracle_searcher is None:
+                        oracle_searcher = Searcher(page)
+                    ms = oracle_searcher.search(nd.pixels, self.threshold)
+                    per_needle[i] = [
+                        MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
+                        for m in ms
+                    ]
+                    continue
+                k = int(counts[ti])
+                cand = slice(0, min(k, cap_eff))
+                sim = exact_similarities(
+                    acc[ti, cand], sp[ti, cand], s2p[ti, cand],
+                    int(grp.s_n[ti]), int(grp.s2_n[ti]), n,
+                )
+                keep = (sim != np.inf) & (sim > thr_f64)
+                lins = idx[ti, cand][keep]
+                sims = sim[keep]
+                hits: list[MatchWithLetter] = []
+                for lin, s in zip(lins[:MAX_MATCHES], sims[:MAX_MATCHES]):
+                    y = 1 + int(lin) // W2
+                    x = 1 + int(lin) % W2
+                    hits.append(
+                        MatchWithLetter(
+                            nd.letter, x, y, grp.nw, grp.nh, float(np.float32(s))
+                        )
+                    )
+                if len(lins) >= MAX_MATCHES:
+                    print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
+                per_needle[i] = hits
+            if verbose:
+                per_search_ms = elapsed * 1000.0 / max(len(grp.needle_ids), 1)
+                ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
+                print(
+                    f"[group {grp.nw}x{grp.nh}] {len(grp.needle_ids)} searches "
+                    f"~{per_search_ms:.2f}ms each ({ns_per_px:.2f} ns/pixel)",
+                    file=sys.stderr,
+                )
+
+        # assemble in reference iteration order (offsets outer, letters inner)
+        all_hits: list[MatchWithLetter] = []
+        for i, nd in enumerate(self.needles):
+            hits = per_needle.get(i, [])
+            if verbose:
+                print(
+                    f"`{nd.letter}` [{_f32_debug(nd.offset[0])}, {_f32_debug(nd.offset[1])}] "
+                    f"needle size {nd.pixels.shape[1]}x{nd.pixels.shape[0]} hits {len(hits)}",
+                    file=sys.stderr,
+                )
+            if raw and out is not None:
+                self._print_raw(nd, hits, out)
+            all_hits.extend(hits)
+        if verbose:
+            print(f"overall {(time.perf_counter() - t00) * 1000.0:.4f}ms", file=sys.stderr)
+            print(f"hits: {len(all_hits)}", file=sys.stderr)
+        return all_hits
+
+    def get_hits_oracle(
+        self, page: np.ndarray, verbose: bool = False, raw: bool = False, out=None
+    ) -> list[MatchWithLetter]:
+        """Host-only differential-oracle path (the reference's --rust flag,
+        ncc.rs:532-533, 651-655): NumPy Searcher per needle, same results.
+        Used by tests and the CLI's --rust to cross-check the device path."""
+        from focr_tpu.oracle.ncc_oracle import Searcher
+
+        searcher = Searcher(page)
+        all_hits: list[MatchWithLetter] = []
+        for nd in self.needles:
+            nh, nw = nd.pixels.shape
+            H, W = page.shape
+            if nh >= H or nw >= W:
+                hits: list[MatchWithLetter] = []
+            else:
+                t0 = time.perf_counter()
+                ms = searcher.search(nd.pixels, self.threshold)
+                elapsed = time.perf_counter() - t0
+                hits = [
+                    MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity) for m in ms
+                ]
+                if verbose:
+                    print(
+                        f"`{nd.letter}` [{_f32_debug(nd.offset[0])}, {_f32_debug(nd.offset[1])}] "
+                        f"needle size {nw}x{nh} hits {len(hits)} elapsed "
+                        f"{int(elapsed * 1000)}ms ({elapsed * 1e9 / (W * H):.2f} ns/pixel)",
+                        file=sys.stderr,
+                    )
+            if raw and out is not None:
+                self._print_raw(nd, hits, out)
+            all_hits.extend(hits)
+        return all_hits
+
+    def _print_raw(self, nd: Needle, hits: list[MatchWithLetter], out) -> None:
+        """The 11-field --raw CSV per hit (ncc.rs:683-698)."""
+        m = self.face.metrics
+        to_px = np.float32(1.0) / np.float32(m.units_per_em) * np.float32(self.ropts.size)
+        gid = self.face.glyph_for_char(nd.letter)
+        tb = self.face.typographic_bounds(gid).scale(float(to_px))
+        bearing_x = np.float32(tb.x0)
+        for h in hits:
+            cx, cy = h.center
+            print(
+                f"{ord(nd.letter)},{_f32(cx)},{_f32(cy)},{h.x},{h.y},{h.w},{h.h},"
+                f"{_f32(bearing_x)},{_f32(nd.corrected_offset[1])},"
+                f"{_f32(nd.offset[0])},{_f32(nd.offset[1])}",
+                file=out,
+            )
+
+
+def _f32(v) -> str:
+    """Rust `{}` Display for f32: shortest round-trip, no trailing .0."""
+    return np.format_float_positional(np.float32(v), unique=True, trim="-")
+
+
+def _f32_debug(v) -> str:
+    """Rust `{:?}` Debug for f32: shortest round-trip, keeps one decimal."""
+    return np.format_float_positional(np.float32(v), unique=True, trim="0")

@@ -1,0 +1,170 @@
+"""Device NCC ops: exact integer correlation + window stats + candidate compaction.
+
+The reference's hot kernel (src/ncc.cpp ncc_8_u8/ncc_16_u8) slides one needle
+over the page with AVX2 integer madds, then computes an f64 similarity and
+emits thresholded hits. The TPU formulation computes ALL needles of one size
+simultaneously:
+
+  * correlation  = conv2d(image, needle_bank) on the MXU  (replaces
+    ncc.cpp:106-166) — bf16 inputs are lossless for u8 data, f32 accumulation
+    is exact while n*255^2 < 2^24, with a 4-bit-nibble split beyond that
+    (same exactness argument as ops/ssd.py).
+  * window sums Σp, Σp² = separable cumsum differences, exact integers.
+    SURVEY.md flagged the reference's sumsqr-table border asymmetry
+    (ncc.rs:957-974) as a quirk to replicate; algebraically the `_nz`
+    accessor's rect sums are EXACT for every window at x,y>=1 (the border
+    terms cancel — proved in tests/test_oracle.py), so true window sums give
+    bit parity over the whole search domain.
+  * similarity is computed in f32 with an ε guard band; every candidate's
+    exact integers (acc, Σp, Σp²) are shipped to the host, which replays the
+    reference's f64 formula (ncc.cpp:206-215, 233-247) for a bit-exact
+    accept/reject and stored-f32 similarity. TPU has no f64; this split keeps
+    the integer work exact on device and the handful of f64 flops per
+    candidate on host.
+  * compaction: scan-order linear indices through top_k — reproducing the
+    row-major emit order and the MAX_MATCHES truncation semantics
+    (ncc.cpp:222-229).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EXACT_F32_LIMIT = 1 << 24
+
+
+def _conv2d(img: jax.Array, needles: jax.Array) -> jax.Array:
+    """VALID conv of [H, W] with [T, nh, nw] -> [T, H-nh+1, W-nw+1], f32."""
+    lhs = img.astype(jnp.bfloat16)[None, None]  # [1, 1, H, W]
+    rhs = needles.astype(jnp.bfloat16)[:, None]  # [T, 1, nh, nw]
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]
+
+
+def correlate(img: jax.Array, needles: jax.Array) -> jax.Array:
+    """Exact integer cross-correlation acc[t, y, x] (i32).
+
+    img: [H, W] inverted page (0..255); needles: [T, nh, nw] u8.
+    """
+    nh, nw = needles.shape[-2], needles.shape[-1]
+    n = nh * nw
+    if n * 65025 < _EXACT_F32_LIMIT:
+        return _conv2d(img, needles).astype(jnp.int32)
+    nd = needles.astype(jnp.int32)
+    hi = jnp.right_shift(nd, 4)
+    lo = jnp.bitwise_and(nd, 15)
+    return _conv2d(img, hi).astype(jnp.int32) * 16 + _conv2d(img, lo).astype(jnp.int32)
+
+
+def _sliding_sum(arr: jax.Array, k: int, axis: int) -> jax.Array:
+    """Exact sliding-window sum of width k along axis (cumsum difference)."""
+    c = jnp.cumsum(arr, axis=axis)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (1, 0)
+    c = jnp.pad(c, pad)
+    lead = tuple(slice(None) for _ in range(axis))
+    n = arr.shape[axis]
+    hi = c[lead + (slice(k, n + 1),)]
+    lo = c[lead + (slice(0, n + 1 - k),)]
+    return hi - lo
+
+
+def window_stats(img: jax.Array, nw: int, nh: int) -> tuple[jax.Array, jax.Array]:
+    """(Σp, Σp²) for every nw×nh window -> two [H-nh+1, W-nw+1] arrays.
+
+    Σp fits i32 for any sane page; Σp² cumsums can exceed 2^31 on tall pages,
+    so the accumulation dtype is chosen by a static bound.
+    """
+    H, W = img.shape
+    i32_ok_sum = W * 255 < 2**31 and H * nw * 255 < 2**31
+    i32_ok_sq = W * 65025 < 2**31 and H * nw * 65025 < 2**31
+    dt_sum = jnp.int32 if i32_ok_sum else jnp.int64
+    dt_sq = jnp.int32 if i32_ok_sq else jnp.int64
+    p = img.astype(dt_sum)
+    sp = _sliding_sum(_sliding_sum(p, nw, axis=1), nh, axis=0)
+    p2 = (img.astype(dt_sq)) ** 2
+    s2p = _sliding_sum(_sliding_sum(p2, nw, axis=1), nh, axis=0)
+    return sp.astype(jnp.int32), s2p.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nw", "nh", "cap", "eps")
+)
+def ncc_candidates(
+    img: jax.Array,  # [H, W] inverted page u8/i32
+    needles: jax.Array,  # [T, nh, nw] u8
+    s_n: jax.Array,  # [T] i64 needle sums
+    s2_n: jax.Array,  # [T] i64 needle sum-of-squares
+    threshold: jax.Array,  # f32 scalar
+    *,
+    nw: int,
+    nh: int,
+    cap: int,
+    eps: float = 1e-3,
+):
+    """Find candidate match positions for every needle of one size group.
+
+    Returns (idx, acc, sp, s2p, counts):
+      idx    [T, cap] i32 — scan-order linear indices into the (y>=1, x>=1)
+                            search domain (row-major), -1 padded
+      acc    [T, cap] i32 — exact integer correlation at each candidate
+      sp     [T, cap] i32 — exact window Σp
+      s2p    [T, cap] i32 — exact window Σp²
+      counts [T] i32      — total positions passing the ε-guarded threshold
+                            (may exceed cap; host falls back if so)
+
+    The candidate set is a superset of the true matches (ε guard band); the
+    host replays the exact f64 similarity per candidate.
+    """
+    n = nw * nh
+    acc_full = correlate(img, needles)  # [T, H', W'] i32
+    sp_full, s2p_full = window_stats(img, nw, nh)
+
+    # search domain excludes x=0 and y=0 (ncc.rs:279, ncc.cpp:98)
+    acc = acc_full[:, 1:, 1:]
+    sp = sp_full[1:, 1:]
+    s2p = s2p_full[1:, 1:]
+    T = acc.shape[0]
+    H2, W2 = sp.shape
+
+    nf = jnp.float32(n)
+    sp_f = sp.astype(jnp.float32)
+    norm2p_f = s2p.astype(jnp.float32) - (sp_f * sp_f) / nf
+    norm2p_exact = s2p.astype(jnp.int64) * n - sp.astype(jnp.int64) ** 2
+    s_n_f = s_n.astype(jnp.float32)[:, None, None]
+    norm2n_f = s2_n.astype(jnp.float32) - (
+        s_n.astype(jnp.float32) ** 2
+    ) / nf  # [T]
+    num_f = acc.astype(jnp.float32) - s_n_f * sp_f[None] * (jnp.float32(1.0) / nf)
+    den_f = jnp.sqrt(norm2n_f)[:, None, None] * jnp.sqrt(norm2p_f)[None]
+    sim_f = num_f / den_f
+    valid = (sp[None] > 0) & (norm2p_exact[None] > 0) & (norm2n_f[:, None, None] > 0)
+    mask = valid & (sim_f > threshold.astype(jnp.float32) - jnp.float32(eps))
+
+    lin = jnp.arange(H2 * W2, dtype=jnp.int32).reshape(H2, W2)
+    big = jnp.int32(2**31 - 1)
+    key = jnp.where(mask, lin[None], big).reshape(T, H2 * W2)
+    k = min(cap, H2 * W2)
+    neg_top, _ = jax.lax.top_k(-key, k)  # first `k` scan-order indices
+    idx = -neg_top  # ascending
+    found = idx < big
+    idx_safe = jnp.where(found, idx, 0)
+    acc_g = jnp.take_along_axis(acc.reshape(T, -1), idx_safe, axis=1)
+    sp_g = jnp.take_along_axis(jnp.broadcast_to(sp.reshape(-1), (T, H2 * W2)), idx_safe, axis=1)
+    s2p_g = jnp.take_along_axis(
+        jnp.broadcast_to(s2p.reshape(-1), (T, H2 * W2)), idx_safe, axis=1
+    )
+    counts = mask.reshape(T, -1).sum(axis=1).astype(jnp.int32)
+    idx_out = jnp.where(found, idx, -1)
+    return idx_out, acc_g, sp_g, s2p_g, counts

@@ -1,0 +1,103 @@
+"""NccMatcher device path vs host oracle: exact parity; e2e text recovery."""
+
+import numpy as np
+import pytest
+
+from focr_tpu.fonts.ft import Face
+from focr_tpu.models.ncc import NccMatcher
+from focr_tpu.models.post import process_hits
+from focr_tpu.models.types import BoxSize, RenderOptions
+
+
+@pytest.fixture(scope="module")
+def mono(mono_font_path):
+    return Face(mono_font_path)
+
+
+def hit_tuples(hits):
+    return [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity)) for h in hits]
+
+
+def test_device_matches_oracle_on_noise(mono):
+    rng = np.random.default_rng(0)
+    page = rng.integers(0, 256, size=(60, 70), dtype=np.uint8)
+    # embed a uniform gray block (sp>0, norm2p==0) and a white strip
+    page[10:20, 10:20] = 128
+    page[30:35, :] = 255
+    m = NccMatcher(mono, "AbQ", RenderOptions(size=13.0), threshold=0.3)
+    got = m.get_hits(page)
+    want = m.get_hits_oracle(page)
+    assert hit_tuples(got) == hit_tuples(want)
+    assert len(got) > 0  # noise at low threshold should produce some hits
+
+
+def test_device_matches_oracle_with_offsets(mono):
+    rng = np.random.default_rng(1)
+    page = rng.integers(100, 256, size=(50, 60), dtype=np.uint8)
+    m = NccMatcher(
+        mono, "ai", RenderOptions(size=13.0), x_bits=1, y_bits=1, threshold=0.25
+    )
+    got = m.get_hits(page)
+    want = m.get_hits_oracle(page)
+    assert hit_tuples(got) == hit_tuples(want)
+
+
+def test_device_matches_oracle_char_box(mono):
+    rng = np.random.default_rng(2)
+    page = rng.integers(0, 256, size=(40, 50), dtype=np.uint8)
+    m = NccMatcher(
+        mono, "lI.", RenderOptions(size=13.0), box_size=BoxSize.CHAR, threshold=0.3
+    )
+    got = m.get_hits(page)
+    want = m.get_hits_oracle(page)
+    assert hit_tuples(got) == hit_tuples(want)
+
+
+def test_e2e_stamped_text_decodes(mono):
+    """Stamp rendered needles on a grid; the full pipeline recovers the text."""
+    alphabet = "ABCXYZ"
+    m = NccMatcher(mono, alphabet, RenderOptions(size=13.0), threshold=0.8)
+    by_letter = {nd.letter: nd for nd in m.needles}
+    page = np.full((100, 140), 255, dtype=np.uint8)
+
+    lines = ["XABC", "ZYCA"]
+    positions_y = [10, 40]
+    x_step = 9
+    for text, y in zip(lines, positions_y):
+        for ci, ch in enumerate(text):
+            nd = by_letter[ch]
+            nh, nw = nd.pixels.shape
+            x = 8 + ci * x_step
+            region = page[y : y + nh, x : x + nw]
+            np.minimum(region, 255 - nd.pixels, out=region)
+
+    hits = m.get_hits(page)
+    out_lines = process_hits(hits, anchor_threshold=0.95, overlap=5)
+    texts = ["".join(h.letter for h in line) for line in out_lines]
+    assert texts == lines
+    # sims at exact stamps are ~1
+    assert all(h.similarity > 0.99 for line in out_lines for h in line)
+
+
+def test_process_hits_dedup_last_max():
+    from focr_tpu.models.types import MatchWithLetter
+
+    mk = lambda letter, x, sim: MatchWithLetter(letter, x, 5, 4, 4, sim)
+    # two hits within overlap, equal sim -> LAST one wins (Rust max_by)
+    hits = [mk("A", 10, 0.97), mk("B", 12, 0.97), mk("C", 30, 0.96)]
+    lines = process_hits(hits, anchor_threshold=0.95, overlap=5)
+    assert [[h.letter for h in line] for line in lines] == [["B", "C"]]
+
+
+def test_process_hits_anchor_filter():
+    from focr_tpu.models.types import MatchWithLetter
+
+    mk = lambda letter, x, y, sim: MatchWithLetter(letter, x, y, 4, 4, sim)
+    # y=5 has an anchor; y=20 has only weak hits -> dropped entirely
+    hits = [mk("A", 10, 5, 0.96), mk("B", 20, 5, 0.90), mk("C", 10, 20, 0.90)]
+    lines = process_hits(hits, anchor_threshold=0.95, overlap=5)
+    assert [[h.letter for h in line] for line in lines] == [["A", "B"]]
+
+
+def test_process_hits_empty():
+    assert process_hits([], 0.95, 5) == []
