@@ -55,30 +55,32 @@ def _row_groups(dopts: DecodeOptions, H: int) -> list[_RowGroup]:
     return [_RowGroup(crop_h=ch, ys=tuple(ys)) for ch, ys in sorted(groups.items(), reverse=True)]
 
 
-def _make_group_fn(bank: GridBank, ys: tuple[int, ...], x0: int):
-    """Build the jitted [B,H,W] -> (ids [B,R,C], white [B,R]) function."""
+def make_grid_forward(bank: GridBank, ys: tuple[int, ...], x0: int):
+    """Build the pure [B,H,W] -> (ids [B,R,C], white [B,R]) forward function
+    (un-jitted; the flagship compute step exported via __graft_entry__)."""
     tmpl = jnp.asarray(bank.templates)  # [C,G,h,win]
     tsq = jnp.asarray(bank.tsq)  # [C,G]
     win_w = bank.win_w
     crop_w, crop_h = bank.crop_w, bank.crop_h
-    row_off = np.asarray(ys, dtype=np.int32)[:, None] + np.arange(crop_h, dtype=np.int32)
-    winidx = bank.wx0[:, None] + np.arange(win_w, dtype=np.int32)[None, :]  # [C,win]
-    row_off_j = jnp.asarray(row_off)
-    winidx_j = jnp.asarray(winidx)
+    wx0 = bank.wx0
 
-    @jax.jit
     def fn(pages: jax.Array):
         inv = 255 - pages.astype(jnp.int32)  # [B,H,W]
-        strips = inv[:, row_off_j, x0 : x0 + crop_w]  # [B,R,h,crop_w]
+        strips = ssd.extract_strips(inv, ys, crop_h, x0, crop_w)  # [B,R,h,crop_w]
         white = jnp.max(strips, axis=(2, 3)) == 0  # all-255 crop ⇔ inverted all-zero
-        padded = jnp.pad(strips, ((0, 0), (0, 0), (0, 0), (0, win_w)))
-        wins = padded[:, :, :, winidx_j]  # [B,R,h,C,win]
-        wins = jnp.transpose(wins, (0, 1, 3, 2, 4))  # [B,R,C,h,win]
+        wins = ssd.extract_windows(strips, wx0, win_w)  # [B,R,C,h,win]
         metric = ssd.ssd_metric(wins, tmpl, tsq)
         ids = ssd.argmin_glyph(metric)
+        if bank.n_glyphs <= 255:
+            ids = ids.astype(jnp.uint8)  # 4x less device->host traffic
         return ids, white
 
     return fn
+
+
+def _make_group_fn(bank: GridBank, ys: tuple[int, ...], x0: int):
+    """Jitted wrapper over make_grid_forward for the single-chip decoder."""
+    return jax.jit(make_grid_forward(bank, ys, x0))
 
 
 class GridDecoder:
@@ -101,6 +103,8 @@ class GridDecoder:
         self.x0 = min(dopts.x_start, W)
         self.crop_w = max(min(dopts.width, W - self.x0), 0)
         self.monospace = is_monospace(face, alphabet, ropts) if alphabet else True
+        self._codes = np.array([ord(c) for c in alphabet], dtype=np.uint32)
+        self._ascii = bool(alphabet) and max(map(ord, alphabet)) < 128
         self.groups: list[tuple[_RowGroup, object]] = []
         if self.crop_w > 0 and self.monospace:
             for grp in _row_groups(dopts, H):
@@ -121,22 +125,48 @@ class GridDecoder:
                 focr_oracle.decode_image(p, self.face, self.alphabet, self.dopts, self.ropts)
                 for p in pages
             ]
+        return self._finish(self._dispatch(pages))
+
+    def _dispatch(self, pages: np.ndarray) -> list:
+        """Upload + enqueue the device work for one batch (async dispatch)."""
         pages_j = jnp.asarray(pages)
+        return [fn(pages_j) for _, fn in self.groups]
+
+    def _finish(self, outs: list) -> list[list[DecodedLine]]:
+        """Force one batch's device results and assemble text lines."""
+        fetched = jax.device_get(outs)  # one transfer for every group
         per_row: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # y -> (ids [B,C], white [B])
-        for grp, fn in self.groups:
-            ids, white = jax.device_get(fn(pages_j))
+        for (grp, _), (ids, white) in zip(self.groups, fetched):
             for ri, y in enumerate(grp.ys):
                 per_row[y] = (ids[:, ri], white[:, ri])
+        ys_sorted = sorted(per_row)
+        ids_all = np.stack([per_row[y][0] for y in ys_sorted], axis=1)  # [B, R, C]
+        white_all = np.stack([per_row[y][1] for y in ys_sorted], axis=1)  # [B, R]
+        return self._assemble(ids_all, white_all, ys_sorted)
+
+    def _assemble(
+        self, ids_all: np.ndarray, white_all: np.ndarray, ys_sorted: list[int]
+    ) -> list[list[DecodedLine]]:
+        """Map glyph ids to text lines, skipping all-white rows
+        (main.rs:208-211). Vectorized: the whole batch's ids are translated to
+        character codes in one take; ASCII alphabets decode rows via a single
+        bytes() pass per page."""
+        B = ids_all.shape[0]
+        codes = self._codes[ids_all]  # [B, R, C] u32 of unicode codepoints
+        ys_arr = np.asarray(ys_sorted)
         out: list[list[DecodedLine]] = []
-        chars = np.array(list(self.alphabet))
         for b in range(B):
-            lines: list[DecodedLine] = []
-            for y in sorted(per_row):
-                ids_b, white_b = per_row[y]
-                if white_b[b]:
-                    continue
-                lines.append(DecodedLine(text="".join(chars[ids_b[b]]), y=y))
-            out.append(lines)
+            keep = ~white_all[b]
+            rows = codes[b][keep]
+            if self._ascii:
+                blob = rows.astype(np.uint8).tobytes().decode("ascii")
+                C = rows.shape[1]
+                texts = [blob[i * C : (i + 1) * C] for i in range(rows.shape[0])]
+            else:
+                texts = ["".join(map(chr, r)) for r in rows]
+            out.append(
+                [DecodedLine(text=t, y=int(y)) for t, y in zip(texts, ys_arr[keep])]
+            )
         return out
 
 
@@ -163,9 +193,29 @@ def decode_pages(
     for bucket in bucket_pages(pages):
         dec = GridDecoder(face, alphabet, dopts, ropts, bucket.shape)
         arr = bucket.pages
-        for s in range(0, arr.shape[0], batch_size):
-            chunk = arr[s : s + batch_size]
-            decoded = dec.decode_batch(chunk)
+        for s, decoded in decode_stream(dec, arr, batch_size):
             for j, lines in enumerate(decoded):
                 results[bucket.indices[s + j]] = lines
     return results  # type: ignore[return-value]
+
+
+def decode_stream(dec: GridDecoder, arr: np.ndarray, batch_size: int):
+    """Yield (start_index, decoded_lines) per batch, pipelining the next
+    batch's host->device upload behind the current batch's result fetch +
+    assembly (uploads through the device transport are synchronous, SURVEY.md
+    §7 "Host↔device pipeline")."""
+    import concurrent.futures as cf
+
+    if not dec.groups or not dec.monospace or dec.crop_w == 0:
+        for s in range(0, arr.shape[0], batch_size):
+            yield s, dec.decode_batch(arr[s : s + batch_size])
+        return
+    starts = list(range(0, arr.shape[0], batch_size))
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(dec._dispatch, arr[starts[0] : starts[0] + batch_size])
+        for i, s in enumerate(starts):
+            outs = pending.result()
+            if i + 1 < len(starts):
+                nxt = starts[i + 1]
+                pending = pool.submit(dec._dispatch, arr[nxt : nxt + batch_size])
+            yield s, dec._finish(outs)

@@ -25,6 +25,40 @@ import numpy as np
 _EXACT_F32_LIMIT = 1 << 24
 
 
+def extract_strips(inv: jax.Array, ys: tuple[int, ...], crop_h: int, x0: int, crop_w: int):
+    """[B, H, W] inverted pages -> [B, R, crop_h, crop_w] line strips.
+
+    Gather-free: XLA-TPU compiles large advanced-index gathers pathologically
+    slowly (~minutes), so the scan grid's arithmetic row structure is exploited
+    instead — a pad+reshape when rows are uniformly spaced with
+    stride >= height (the common case: line_advance >= line_height), falling
+    back to a 1-D take for overlapping/irregular grids.
+    """
+    B, H, W = inv.shape
+    R = len(ys)
+    if R == 1:
+        return inv[:, ys[0] : ys[0] + crop_h, x0 : x0 + crop_w][:, None]
+    strides = {ys[i + 1] - ys[i] for i in range(R - 1)}
+    if len(strides) == 1 and (adv := strides.pop()) >= crop_h:
+        y0 = ys[0]
+        tail = y0 + R * adv
+        body = inv
+        if tail > H:
+            body = jnp.pad(inv, ((0, 0), (0, tail - H), (0, 0)))  # zeros = white
+        return body[:, y0:tail].reshape(B, R, adv, W)[:, :, :crop_h, x0 : x0 + crop_w]
+    rows = np.asarray(ys, dtype=np.int32)[:, None] + np.arange(crop_h, dtype=np.int32)
+    flat = jnp.take(inv, jnp.asarray(rows.reshape(-1)), axis=1)
+    return flat.reshape(B, R, crop_h, W)[:, :, :, x0 : x0 + crop_w]
+
+
+def extract_windows(strips: jax.Array, wx0: np.ndarray, win_w: int) -> jax.Array:
+    """[B, R, h, crop_w] strips -> [B, R, C, h, win_w] per-cell windows via
+    statically unrolled slices (compile-friendly; no gather)."""
+    padded = jnp.pad(strips, ((0, 0), (0, 0), (0, 0), (0, win_w)))
+    cells = [padded[:, :, :, int(w) : int(w) + win_w] for w in wx0]
+    return jnp.stack(cells, axis=2)
+
+
 def _dot_brcpq_cgpq(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
     """einsum('brcpq,cgpq->brcg') in bf16 with f32 accumulation."""
     return jnp.einsum(

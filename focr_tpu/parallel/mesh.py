@@ -1,0 +1,60 @@
+"""Device-mesh construction for multi-chip scale-out.
+
+The reference's only parallelism is a rayon thread pool over page images
+(main.rs:442-471; ncc.rs:839-847). The TPU-native equivalent (SURVEY.md §2.5,
+§5.8) is a 2-D ``jax.sharding.Mesh``:
+
+  * ``pages``  axis — data parallelism: page batches are sharded across chips;
+    each chip decodes its shard, results are gathered in page order.
+  * ``glyphs`` axis — tensor parallelism over the template bank: the glyph
+    axis of the SSD metric is sharded, each chip computes a partial
+    (min, argmin) over its glyph slice, and an ``all_gather`` over the axis
+    combines them with the reference's first-minimum tie-break.
+
+Collectives ride ICI; no other communication exists (matching is
+embarrassingly page-parallel, SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PAGES_AXIS = "pages"
+GLYPHS_AXIS = "glyphs"
+
+
+def page_mesh(
+    devices: list | None = None, glyph_shards: int = 1
+) -> Mesh:
+    """Build the (pages × glyphs) mesh over ``devices`` (default: all).
+
+    ``glyph_shards`` must divide the device count; the pages axis takes the
+    rest. With a single device this degenerates to a 1×1 mesh and every
+    sharded function runs unpartitioned — one code path for 1..N chips.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % glyph_shards != 0:
+        raise ValueError(f"glyph_shards={glyph_shards} must divide device count {n}")
+    arr = np.asarray(devices).reshape(n // glyph_shards, glyph_shards)
+    return Mesh(arr, (PAGES_AXIS, GLYPHS_AXIS))
+
+
+def pages_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a [B, ...] page batch: batch split over every device."""
+    return NamedSharding(mesh, P((PAGES_AXIS, GLYPHS_AXIS)))
+
+
+def pad_batch(pages: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad the batch axis up to ``multiple`` (padded pages are all-white, so
+    the all-white row skip makes them decode to nothing). Returns (padded,
+    original_count)."""
+    B = pages.shape[0]
+    rem = (-B) % multiple
+    if rem == 0:
+        return pages, B
+    pad = np.full((rem,) + pages.shape[1:], 255, dtype=pages.dtype)
+    return np.concatenate([pages, pad], axis=0), B

@@ -1,0 +1,105 @@
+"""Multi-chip sharding parity tests on the 8-device virtual CPU mesh.
+
+SURVEY.md §4: mesh logic is validated with
+XLA_FLAGS=--xla_force_host_platform_device_count=8 (conftest.py) — the
+sharded decode must produce bit-identical ids/masks to the single-chip path.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from focr_tpu.fonts.ft import Face
+from focr_tpu.fonts.bank import build_grid_bank, build_needles
+from focr_tpu.models.focr import GridDecoder, _row_groups
+from focr_tpu.models.types import BoxSize, DecodeOptions, RenderOptions
+from focr_tpu.io.synth import synthesize_page, random_text_lines
+from focr_tpu.parallel.mesh import page_mesh, pad_batch
+from focr_tpu.parallel.decode import make_sharded_grid_fn, make_sharded_ncc_fn
+
+ALPHA = "ABC abc019+/"
+
+
+@pytest.fixture(scope="module")
+def setup(mono_font_path):
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=10.0)
+    dopts = DecodeOptions(x_start=4, y_start=3, line_height=12, line_advance=14, width=120)
+    shape = (64, 136)
+    rng = np.random.default_rng(7)
+    pages = np.stack(
+        [
+            synthesize_page(
+                face, random_text_lines(rng, ALPHA.replace(" ", "A"), 3, 9),
+                dopts, ropts, ALPHA, shape,
+            )
+            for _ in range(6)
+        ]
+    )
+    return face, ropts, dopts, shape, pages
+
+
+@pytest.mark.parametrize("glyph_shards", [1, 2, 4])
+def test_sharded_grid_matches_single_chip(setup, glyph_shards):
+    face, ropts, dopts, shape, pages = setup
+    mesh = page_mesh(glyph_shards=glyph_shards)
+    dec = GridDecoder(face, ALPHA, dopts, ropts, shape)
+    padded, B = pad_batch(pages, mesh.shape["pages"])
+    for (grp, fn_single) in dec.groups:
+        bank = build_grid_bank(face, ALPHA, ropts, dec.crop_w, grp.crop_h)
+        fn_sharded = make_sharded_grid_fn(bank, grp.ys, dec.x0, mesh)
+        ids_s, white_s = jax.device_get(fn_single(pages))
+        ids_m, white_m = jax.device_get(fn_sharded(padded))
+        np.testing.assert_array_equal(ids_m[:B], ids_s)
+        np.testing.assert_array_equal(white_m[:B], white_s)
+
+
+def test_sharded_decode_end_to_end(setup):
+    """Full sharded pipeline decodes the synthetic pages to the exact text."""
+    face, ropts, dopts, shape, pages = setup
+    mesh = page_mesh(glyph_shards=2)
+    dec = GridDecoder(face, ALPHA, dopts, ropts, shape)
+    expect = dec.decode_batch(pages)
+    padded, B = pad_batch(pages, mesh.shape["pages"])
+    grp, _ = dec.groups[0]
+    bank = build_grid_bank(face, ALPHA, ropts, dec.crop_w, grp.crop_h)
+    fn = make_sharded_grid_fn(bank, grp.ys, dec.x0, mesh)
+    ids, white = jax.device_get(fn(padded))
+    chars = np.array(list(ALPHA))
+    for b in range(B):
+        got = [
+            "".join(chars[ids[b, r]])
+            for r, y in enumerate(grp.ys)
+            if not white[b, r]
+        ]
+        want = [ln.text for ln in expect[b] if ln.y in grp.ys]
+        assert got == want
+    # padded all-white pages decode to nothing
+    for b in range(B, padded.shape[0]):
+        assert white[b].all()
+
+
+def test_sharded_ncc_matches_single_chip(setup, mono_font_path):
+    face, ropts, dopts, shape, pages = setup
+    from focr_tpu.ops import ncc as ncc_ops
+    import jax.numpy as jnp
+
+    needles = build_needles(face, "AB0", ropts, BoxSize.ALPHABET, 0, 0)
+    bank = np.stack([n.pixels for n in needles])
+    s_n = np.array([n.s_n for n in needles], dtype=np.int64)
+    s2_n = np.array([n.s2_n for n in needles], dtype=np.int64)
+    mesh = page_mesh(glyph_shards=1)
+    padded, B = pad_batch(pages, mesh.size)
+    inv = (255 - padded.astype(np.int32)).astype(np.uint8)
+    fn = make_sharded_ncc_fn(mesh, bank, s_n, s2_n, 0.8, cap=256)
+    idx_m, acc_m, sp_m, s2p_m, counts_m = jax.device_get(fn(jnp.asarray(inv)))
+    for b in range(B):
+        idx, acc, sp, s2p, counts = jax.device_get(
+            ncc_ops.ncc_candidates(
+                jnp.asarray(inv[b]), jnp.asarray(bank), jnp.asarray(s_n),
+                jnp.asarray(s2_n), jnp.asarray(np.float32(0.8)),
+                nw=bank.shape[2], nh=bank.shape[1], cap=256,
+            )
+        )
+        np.testing.assert_array_equal(idx_m[b], idx)
+        np.testing.assert_array_equal(counts_m[b], counts)
