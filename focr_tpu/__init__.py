@@ -11,11 +11,24 @@ Layers (SURVEY.md §1 re-layering):
   native/    C++ host fallback kernel (differential oracle for the device path)
 """
 
+import os as _os
+
 import jax as _jax
 
 # int64 is required for exact full-page integral arithmetic on large pages
 # (sum-of-squares cumsums exceed 2^31). All device float math remains
 # explicitly f32/bf16 — no f64 ever reaches the TPU.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: first-compile latency through the remote
+# TPU backend is high and highly variable (seconds to minutes); caching makes
+# every CLI invocation after the first start instantly. Opt out with
+# FOCR_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("FOCR_TPU_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "FOCR_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/focr_tpu_xla")
+    )
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-letters", action="store_true")
     p.add_argument("--rust", action="store_true",
                    help="use the host differential-oracle kernel instead of the device path")
+    p.add_argument("--engine", choices=["device", "native", "oracle"], default=None,
+                   help="execution tier: device (TPU, default), native (C++ host), "
+                        "oracle (NumPy reference). --rust is an alias for oracle.")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--csv", action="store_true")
     p.add_argument("--raw", action="store_true")
@@ -93,7 +96,12 @@ def main(argv: list[str] | None = None) -> int:
             inv = (255 - nd.pixels.astype(np.int32)).astype(np.uint8)
             save_gray(f"letters/{nd.letter}-{x}_{y}.png", inv)
 
-    get = matcher.get_hits_oracle if args.rust else matcher.get_hits
+    engine = args.engine or ("oracle" if args.rust else "device")
+    get = {
+        "device": matcher.get_hits,
+        "native": matcher.get_hits_native,
+        "oracle": matcher.get_hits_oracle,
+    }[engine]
 
     if args.raw:
         assert len(args.img) == 1

@@ -31,6 +31,18 @@ from focr_tpu.ops import ncc as ncc_ops
 _CAP = MAX_MATCHES + 1024  # device candidate capacity (ε superset of matches)
 
 
+def _host_searcher(page: np.ndarray):
+    """Fastest available exact host searcher: native C++ kernel, else oracle."""
+    try:
+        from focr_tpu.native.ncc_cpu import NativeSearcher
+
+        return NativeSearcher(page)
+    except Exception:  # noqa: BLE001 - toolchain missing: degrade gracefully
+        from focr_tpu.oracle.ncc_oracle import Searcher
+
+        return Searcher(page)
+
+
 @dataclass(frozen=True)
 class _Group:
     nh: int
@@ -150,10 +162,10 @@ class NccMatcher:
                 nd = self.needles[i]
                 if counts[ti] > cap_eff:
                     # candidate overflow (pathological): exact host fallback
-                    from focr_tpu.oracle.ncc_oracle import Searcher
-
+                    # (native C++ kernel when the toolchain is available,
+                    # NumPy oracle otherwise — both bit-identical)
                     if oracle_searcher is None:
-                        oracle_searcher = Searcher(page)
+                        oracle_searcher = _host_searcher(page)
                     ms = oracle_searcher.search(nd.pixels, self.threshold)
                     per_needle[i] = [
                         MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
@@ -191,6 +203,58 @@ class NccMatcher:
                 )
 
         # assemble in reference iteration order (offsets outer, letters inner)
+        all_hits: list[MatchWithLetter] = []
+        for i, nd in enumerate(self.needles):
+            hits = per_needle.get(i, [])
+            if verbose:
+                print(
+                    f"`{nd.letter}` [{_f32_debug(nd.offset[0])}, {_f32_debug(nd.offset[1])}] "
+                    f"needle size {nd.pixels.shape[1]}x{nd.pixels.shape[0]} hits {len(hits)}",
+                    file=sys.stderr,
+                )
+            if raw and out is not None:
+                self._print_raw(nd, hits, out)
+            all_hits.extend(hits)
+        if verbose:
+            print(f"overall {(time.perf_counter() - t00) * 1000.0:.4f}ms", file=sys.stderr)
+            print(f"hits: {len(all_hits)}", file=sys.stderr)
+        return all_hits
+
+    def get_hits_native(
+        self, page: np.ndarray, verbose: bool = False, raw: bool = False, out=None
+    ) -> list[MatchWithLetter]:
+        """All-host execution tier: the C++ kernel sweeps each size group's
+        whole needle bank OpenMP-parallel (the native analogue of the
+        reference's default C path + rayon fan-out). Same results as the
+        device and oracle paths."""
+        from focr_tpu.native.ncc_cpu import NativeSearcher
+
+        searcher = NativeSearcher(page)
+        H, W = page.shape
+        per_needle: dict[int, list[MatchWithLetter]] = {}
+        t00 = time.perf_counter()
+        for grp in self.groups:
+            if grp.nh >= H or grp.nw >= W:
+                for i in grp.needle_ids:
+                    per_needle[i] = []
+                continue
+            t0 = time.perf_counter()
+            results = searcher.search_many(grp.bank, self.threshold)
+            elapsed = time.perf_counter() - t0
+            for ti, i in enumerate(grp.needle_ids):
+                nd = self.needles[i]
+                per_needle[i] = [
+                    MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
+                    for m in results[ti]
+                ]
+            if verbose:
+                per_search_ms = elapsed * 1000.0 / max(len(grp.needle_ids), 1)
+                ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
+                print(
+                    f"[native group {grp.nw}x{grp.nh}] {len(grp.needle_ids)} searches "
+                    f"~{per_search_ms:.2f}ms each ({ns_per_px:.2f} ns/pixel)",
+                    file=sys.stderr,
+                )
         all_hits: list[MatchWithLetter] = []
         for i, nd in enumerate(self.needles):
             hits = per_needle.get(i, [])
