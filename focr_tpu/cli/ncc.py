@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["device", "native", "oracle"], default=None,
                    help="execution tier: device (TPU, default), native (C++ host), "
                         "oracle (NumPy reference). --rust is an alias for oracle.")
+    p.add_argument("--device-kernel", choices=["auto", "xla", "pallas"], default="auto",
+                   help="device-engine kernel: xla (conv emitter, default via auto) "
+                        "or pallas (fused bitmask kernel)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--csv", action="store_true")
     p.add_argument("--raw", action="store_true")
@@ -86,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         y_bits=args.y_bits,
         padding=(args.x_padding, args.y_padding),
         threshold=args.threshold,
+        device_kernel=args.device_kernel,
     )
 
     if args.save_letters:

@@ -27,6 +27,26 @@ from focr_tpu.fonts.bank import Needle, build_needles
 from focr_tpu.fonts.ft import Face
 from focr_tpu.models.types import MAX_MATCHES, BoxSize, MatchWithLetter, RenderOptions
 from focr_tpu.ops import ncc as ncc_ops
+from focr_tpu.ops import pallas_ncc
+
+
+def ncc_ops_pallas_call(inv_j, grp, thr_f32, capw: int):
+    """Invoke the Pallas bitmask kernel for one size group (interpret mode
+    off-TPU so CPU CI exercises the same code path)."""
+    import jax
+
+    interpret = jax.default_backend() != "tpu"
+    return pallas_ncc.ncc_candidates_pallas(
+        inv_j,
+        jnp.asarray(grp.bank),
+        jnp.asarray(grp.s_n),
+        jnp.asarray(grp.s2_n),
+        jnp.asarray(thr_f32),
+        nw=grp.nw,
+        nh=grp.nh,
+        capw=capw,
+        interpret=interpret,
+    )
 
 _CAP = MAX_MATCHES + 1024  # device candidate capacity (ε superset of matches)
 
@@ -105,6 +125,7 @@ class NccMatcher:
         y_bits: int = 0,
         padding: tuple[int, int] = (0, 0),
         threshold: float = 0.8,
+        device_kernel: str = "auto",
     ):
         self.face = face
         self.alphabet = alphabet
@@ -112,6 +133,14 @@ class NccMatcher:
         self.threshold = float(threshold)
         self.needles = build_needles(face, alphabet, ropts, box_size, x_bits, y_bits, padding)
         self.groups = _group_needles(self.needles)
+        if device_kernel == "auto":
+            # measured on v5e: XLA's native conv emitter is HBM-bound-optimal
+            # for this sweep (~0.6ms/74-needle page) and beats the Pallas
+            # row-grid kernel by ~80x; Pallas remains the opt-in native tier
+            # (and the VMEM-bounded fallback shape for very large pages)
+            device_kernel = "xla"
+        assert device_kernel in ("pallas", "xla")
+        self.device_kernel = device_kernel
 
     def get_hits(
         self,
@@ -131,11 +160,22 @@ class NccMatcher:
         per_needle: dict[int, list[MatchWithLetter]] = {}
         t00 = time.perf_counter()
         oracle_searcher = None
+        tables = None  # (inv_i64, sum_table, sumsqr_table) for pallas replay
         for grp in self.groups:
             n = grp.nh * grp.nw
             if grp.nh >= H or grp.nw >= W:
                 for i in grp.needle_ids:
                     per_needle[i] = []
+                continue
+            if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
+                H, W, grp.nw, grp.nh, self.threshold
+            ):
+                if tables is None:
+                    tables = self._replay_tables(inv)
+                oracle_searcher = self._pallas_group(
+                    grp, inv_j, tables, thr_f32, thr_f64, per_needle,
+                    page, oracle_searcher, verbose, H, W,
+                )
                 continue
             t0 = time.perf_counter()
             idx, acc, sp, s2p, counts = ncc_ops.ncc_candidates(
@@ -219,6 +259,98 @@ class NccMatcher:
             print(f"overall {(time.perf_counter() - t00) * 1000.0:.4f}ms", file=sys.stderr)
             print(f"hits: {len(all_hits)}", file=sys.stderr)
         return all_hits
+
+    @staticmethod
+    def _replay_tables(inv: np.ndarray):
+        """Host integral tables + strided window view for exact per-candidate
+        integers (acc, Σp, Σp²) in the Pallas path's f64 replay."""
+        from focr_tpu.oracle.ncc_oracle import sum_table, sumsqr_table
+
+        return (
+            inv.astype(np.int64),
+            sum_table(inv).astype(np.int64),
+            sumsqr_table(inv).astype(np.int64),
+        )
+
+    def _pallas_group(
+        self, grp, inv_j, tables, thr_f32, thr_f64, per_needle,
+        page, oracle_searcher, verbose, H, W,
+    ):
+        """One size group through the Pallas bitmask kernel + host replay."""
+        n = grp.nh * grp.nw
+        t0 = time.perf_counter()
+        widx, wval, counts, nzw = ncc_ops_pallas_call(
+            inv_j, grp, thr_f32, capw=_CAP
+        )
+        widx, wval, counts, nzw = (
+            np.asarray(widx), np.asarray(wval), np.asarray(counts), np.asarray(nzw)
+        )
+        elapsed = time.perf_counter() - t0
+        inv64, st, s2t = tables
+        WW = pallas_ncc.word_stride(W, grp.nw)
+        wins = np.lib.stride_tricks.sliding_window_view(inv64, (grp.nh, grp.nw))
+        bit = np.arange(32, dtype=np.int64)
+        for ti, i in enumerate(grp.needle_ids):
+            nd = self.needles[i]
+            if nzw[ti] > widx.shape[1]:
+                # nonzero-word overflow (pathological): exact host fallback
+                if oracle_searcher is None:
+                    oracle_searcher = _host_searcher(page)
+                ms = oracle_searcher.search(nd.pixels, self.threshold)
+                per_needle[i] = [
+                    MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
+                    for m in ms
+                ]
+                continue
+            sel = widx[ti] >= 0
+            w = widx[ti][sel].astype(np.int64)
+            v = wval[ti][sel].astype(np.uint32)
+            # unpack: scan order = ascending word, ascending bit
+            bits = ((v[:, None] >> bit.astype(np.uint32)) & 1).astype(bool)
+            ys = np.broadcast_to((w // WW)[:, None], bits.shape)[bits]
+            xs = (np.broadcast_to(((w % WW) * 32)[:, None] + bit[None], bits.shape))[bits]
+            if len(ys) == 0:
+                per_needle[i] = []
+                continue
+            acc = np.einsum(
+                "kij,ij->k", wins[ys, xs], nd.pixels.astype(np.int64)
+            )
+            sp = (
+                st[ys + grp.nh - 1, xs + grp.nw - 1]
+                - st[ys + grp.nh - 1, xs - 1]
+                + st[ys - 1, xs - 1]
+                - st[ys - 1, xs + grp.nw - 1]
+            )
+            s2p = (
+                s2t[ys + grp.nh - 1, xs + grp.nw - 1]
+                - s2t[ys + grp.nh - 1, xs - 1]
+                + s2t[ys - 1, xs - 1]
+                - s2t[ys - 1, xs + grp.nw - 1]
+            )
+            sim = exact_similarities(
+                acc, sp, s2p, int(grp.s_n[ti]), int(grp.s2_n[ti]), n
+            )
+            keep = (sim != np.inf) & (sim > thr_f64)
+            hits = [
+                MatchWithLetter(
+                    nd.letter, int(x), int(y), grp.nw, grp.nh, float(np.float32(s))
+                )
+                for x, y, s in zip(
+                    xs[keep][:MAX_MATCHES], ys[keep][:MAX_MATCHES], sim[keep][:MAX_MATCHES]
+                )
+            ]
+            if keep.sum() >= MAX_MATCHES:
+                print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
+            per_needle[i] = hits
+        if verbose:
+            per_search_ms = elapsed * 1000.0 / max(len(grp.needle_ids), 1)
+            ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
+            print(
+                f"[pallas group {grp.nw}x{grp.nh}] {len(grp.needle_ids)} searches "
+                f"~{per_search_ms:.2f}ms each ({ns_per_px:.2f} ns/pixel)",
+                file=sys.stderr,
+            )
+        return oracle_searcher
 
     def get_hits_native(
         self, page: np.ndarray, verbose: bool = False, raw: bool = False, out=None

@@ -1,0 +1,278 @@
+"""Pallas TPU kernel for the NCC sweep — the native-kernel tier.
+
+This is the TPU counterpart of the reference's AVX2 kernel (src/ncc.cpp): one
+fused pass over the page computing, for ALL needles of one size group, the
+integer cross-correlation (as an MXU matmul over im2col row blocks), the
+windowed patch statistics, the ε-guarded similarity threshold, and a
+32-bit-packed candidate bitmask — all in VMEM. Compared with the XLA
+formulation (ops/ncc.py), nothing dense ever reaches HBM except the packed
+mask (~32× smaller than a similarity plane: ~5MB for a letter-size page and a
+74-letter bank instead of ~300MB of conv output + top_k keys).
+
+Semantics: the mask is an ε-superset of the reference's accept set over the
+search domain y>=1, x>=1 (ncc.cpp:98, ncc.rs:279); the host replays the exact
+f64 similarity per candidate (models/ncc.py), so end results are bit-identical
+to the oracle. The threshold test is algebraic —
+
+    num > (thr - ε) · sqrt(norm2_n · norm2_p)   with norm2_p > 0, Σp > 0
+
+— equivalent to sim > thr - ε without a division (den > 0 on the kept set,
+valid for thr - ε > 0; pallas_supported() gates on that).
+
+The kernel runs whole-page in VMEM (a letter page is ~2MB as i32); callers
+fall back to the XLA path for pages that exceed the VMEM budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TTILE = 64  # needles per grid step (bounds the VMEM-resident out block)
+
+
+def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
+            gmat_ref, bytes_ref, counts_ref, win_ref, *, nw, nh, W1, Hs, n):
+    """Kernel body; grid is (needle_tile, window_row) — one window row of one
+    _TTILE-needle tile per step (no in-kernel loop: Mosaic's fori_loop
+    lowering is fragile, and the sequential-grid accumulation pattern is the
+    idiomatic TPU form anyway).
+
+    thr    [1, 1]       f32  (threshold - ε), SMEM
+    img    [Hp, Wp]     f32  inverted page, zero-padded (u8 values: exact);
+                             whole-array VMEM block, resident across rows
+    ndm    [Tt, K]      f32  needle-tile rows, flattened (K = nh*nw)
+    sp     [Hs8, W1]    f32  window Σp  (row 0 zeroed => y=0 excluded)
+    s2p    [Hs8, W1]    f32  window Σp²
+    sn_n   [Tt, 1]      f32  needle Σ / n
+    n2n    [Tt, 1]      f32  needle norm² = Σn² - (Σn)²/n
+    gmat   [W1, W1/8]   f32  bit-packing matrix: G[x, g] = 2^(x%8) · [x//8 == g]
+    bytes  [1, Tt, W1/8] u8 out block at (y, tile, 0) — mask bytes (byte g
+           packs x in [8g, 8g+8)); y leads so the store inserts a LEADING dim,
+           which is layout-trivial for Mosaic (a middle-dim insert on i8 is not)
+    counts [Tt, 1]      i32 out — candidate bits per needle; block index is
+           constant in y (innermost grid dim) => stays VMEM-resident and
+           accumulates across rows, written back once per tile
+    win    [K, W1]      bf16 scratch — im2col rows
+
+    The per-row pipeline is two MXU dots: the correlation
+    (ndm [Tt,K] @ win [K,W1]) and the bit-packing (keep [Tt,W1] @ G) — packing
+    as a matmul sidesteps Mosaic's reshape/relayout restrictions (sums of
+    distinct powers of two ≤ 255 are exact in bf16×bf16→f32).
+    """
+    y = pl.program_id(1)
+    ndm = ndm_ref[:].astype(jnp.bfloat16)
+    gmat = gmat_ref[:].astype(jnp.bfloat16)
+    sn_n = sn_n_ref[:, 0]  # [Tt]
+    n2n = n2n_ref[:, 0]
+    rt_n2n = jnp.sqrt(n2n)
+    thr_eps = thr_ref[0, 0]
+    # search domain excludes x=0 (ncc.rs:279, ncc.cpp:98)
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, W1), 1) >= 1
+
+    @pl.when(y == 0)
+    def _init():
+        counts_ref[:, :] = jnp.zeros_like(counts_ref)
+
+    # im2col for ONE window row: win[k, x] = img[y+dy, x+dx], k = dy*nw+dx.
+    # Built via per-slice STORES into VMEM scratch — stores relayout the
+    # lane-offset slices to offset 0; a sublane concat of them does not
+    # lower ("offset mismatch on non-concat dimension").
+    for dy in range(nh):
+        row = img_ref[pl.ds(y + dy, 1), :].astype(jnp.bfloat16)  # [1, Wp]
+        for dx in range(nw):
+            win_ref[pl.ds(dy * nw + dx, 1), :] = row[:, dx : dx + W1]
+    win = win_ref[:]  # [K, W1]
+    acc = jnp.dot(ndm, win, preferred_element_type=jnp.float32)  # [Tt, W1]
+
+    sp = sp_ref[pl.ds(y, 1), :]  # [1, W1]
+    s2p = s2p_ref[pl.ds(y, 1), :]
+    norm2p = s2p - sp * sp * jnp.float32(1.0 / n)
+    num = acc - sn_n[:, None] * sp
+    den = rt_n2n[:, None] * jnp.sqrt(jnp.maximum(norm2p, 0.0))
+    keep = (
+        (sp > 0)
+        & (norm2p > 0)
+        & (n2n[:, None] > 0)
+        & (num > thr_eps * den)
+        & col_ok
+        & (y < Hs)  # rows >= Hs are padding: their bytes stay 0
+    )
+    keepf = keep.astype(jnp.float32)
+    packed = jnp.dot(
+        keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
+    )  # [Tt, W1/8] — exact byte values 0..255
+    bytes_ref[:, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)[None, :, :]
+    counts_ref[:, :] = counts_ref[:, :] + keepf.sum(
+        axis=1, keepdims=True
+    ).astype(jnp.int32)
+
+
+def _pad_to(a: jax.Array, rows: int, cols: int) -> jax.Array:
+    return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
+)
+def ncc_candidates_pallas(
+    img: jax.Array,  # [H, W] inverted page (u8/i32 values 0..255)
+    needles: jax.Array,  # [T, nh, nw] u8
+    s_n: jax.Array,  # [T] i64 needle sums
+    s2_n: jax.Array,  # [T] i64 needle sum-of-squares
+    threshold: jax.Array,  # f32 scalar
+    *,
+    nw: int,
+    nh: int,
+    capw: int,
+    eps: float = 1e-3,
+    interpret: bool = False,
+):
+    """Pallas-backed candidate search for one needle-size group.
+
+    Returns (word_idx, word_val, counts, nz_words):
+      word_idx [T, capw] i32 — scan-order indices of the first capw nonzero
+               32-bit mask words; word w covers window columns
+               x in [(w % WW)*32, …+32) of row y = w // WW, where
+               WW = W1/32 and W1 is the padded window-column count
+               (= word_stride(W, nw) * 32). -1 padded.
+      word_val [T, capw] i32 — the packed bits of each selected word
+      counts   [T] i32       — exact total candidate count
+      nz_words [T] i32       — total nonzero words (overflow iff > capw)
+
+    The caller unpacks bits host-side (scan order: ascending word, ascending
+    bit) and replays the exact f64 similarity per candidate.
+    """
+    from focr_tpu.ops.ncc import window_stats
+
+    H, W = img.shape
+    T = needles.shape[0]
+    n = nw * nh
+    Hs = H - nh + 1  # window rows; search domain is y in [1, Hs)
+    W1 = word_stride(W, nw) * 32
+    Hs8 = ((Hs + 7) // 8) * 8
+
+    # image padded so every im2col slice [y0+dy, dx : dx+W1] is in bounds
+    Hp = Hs8 + nh - 1
+    Wp = W1 + nw - 1
+    img_i = _pad_to(img.astype(jnp.float32), max(Hp, H), max(Wp, W))[:Hp, :Wp]
+
+    sp_full, s2p_full = window_stats(img.astype(jnp.int32), nw, nh)
+    sp_f = _pad_to(sp_full, Hs8, W1).astype(jnp.float32)
+    s2p_f = _pad_to(s2p_full, Hs8, W1).astype(jnp.float32)
+    # zero row 0: excludes y=0 from the domain via the sp>0 test
+    sp_f = sp_f.at[0].set(0.0)
+
+    ndm = needles.reshape(T, n).astype(jnp.float32)
+    nf = jnp.float32(n)
+    sn_n = (s_n.astype(jnp.float32) / nf).reshape(T, 1)
+    n2n = (s2_n.astype(jnp.float32) - s_n.astype(jnp.float32) ** 2 / nf).reshape(T, 1)
+    thr_arr = (threshold.astype(jnp.float32) - jnp.float32(eps)).reshape(1, 1)
+
+    WW = W1 // 32
+    WB = W1 // 8
+    Tt = _TTILE
+    Tp = ((T + Tt - 1) // Tt) * Tt
+    if Tp != T:  # pad with zero needles: n2n == 0 => no candidates
+        ndm = jnp.pad(ndm, ((0, Tp - T), (0, 0)))
+        sn_n = jnp.pad(sn_n, ((0, Tp - T), (0, 0)))
+        n2n = jnp.pad(n2n, ((0, Tp - T), (0, 0)))
+
+    # bit-packing matrix: G[x, g] = 2^(x % 8) iff x // 8 == g
+    xs = np.arange(W1)
+    gm = np.zeros((W1, WB), dtype=np.float32)
+    gm[xs, xs // 8] = (1 << (xs % 8)).astype(np.float32)
+    gmat = jnp.asarray(gm)
+
+    kernel = functools.partial(_kernel, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
+    grid = (Tp // Tt, Hs8)
+    # trace the kernel with x64 OFF: under the package-global jax_enable_x64,
+    # python-int literals in BlockSpec index maps / kernel body become i64
+    # constants, and Mosaic cannot legalize i64 (func.return (i64, i64))
+    with jax.enable_x64(False):
+        mask_bytes, counts = _call(
+            kernel, grid, Hs8, Tp, Tt, WB, W1, n, img_i.shape, interpret,
+            thr_arr, img_i, ndm, sp_f, s2p_f, sn_n, n2n, gmat,
+        )
+    mask_bytes = jnp.swapaxes(mask_bytes[:, :T], 0, 1)  # -> [T, Hs8, WB]
+    counts = counts[:T, 0]
+
+    # bytes -> 32-bit words (cheap XLA pass over the 8x-packed mask)
+    b = mask_bytes.reshape(T, Hs8, WW, 4).astype(jnp.int32)
+    packed = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+
+    # compact the nonzero words in scan order (the 32x-smaller domain)
+    flat = packed.reshape(T, Hs8 * WW)
+    nz = flat != 0
+    word_lin = jax.lax.broadcasted_iota(jnp.int32, (T, Hs8 * WW), 1)
+    big = jnp.int32(2**31 - 1)
+    key = jnp.where(nz, word_lin, big)
+    k = min(capw, Hs8 * WW)
+    neg_top, _ = jax.lax.top_k(-key, k)
+    idx = -neg_top
+    found = idx < big
+    idx_safe = jnp.where(found, idx, 0)
+    vals = jnp.take_along_axis(flat, idx_safe, axis=1)
+    nz_words = nz.sum(axis=1, dtype=jnp.int32)
+    return (
+        jnp.where(found, idx, -1),
+        jnp.where(found, vals, 0),
+        counts,
+        nz_words,
+    )
+
+
+def _call(kernel, grid, Hs8, Tp, Tt, WB, W1, n, img_shape, interpret, *args):
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((Hs8, Tp, WB), jnp.uint8),
+            jax.ShapeDtypeStruct((Tp, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((img_shape[0], img_shape[1]), lambda i, y: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, n), lambda i, y: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hs8, W1), lambda i, y: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hs8, W1), lambda i, y: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, 1), lambda i, y: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, 1), lambda i, y: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W1, WB), lambda i, y: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Tt, WB), lambda i, y: (y, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, 1), lambda i, y: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, W1), jnp.bfloat16)],
+        interpret=interpret,
+    )(*args)
+
+
+def word_stride(W: int, nw: int) -> int:
+    """Mask words per row (ceil of the window-column count / 32)."""
+    return (W - nw + 1 + 31) // 32
+
+
+def pallas_supported(
+    H: int, W: int, nw: int, nh: int, threshold: float, eps: float = 1e-3
+) -> bool:
+    """Whether the Pallas path handles this configuration (VMEM budget, block
+    size, positive algebraic threshold); callers use the XLA path otherwise."""
+    Hs = H - nh + 1
+    W1 = word_stride(W, nw) * 32
+    if Hs < 8 or W - nw + 1 < 2 or nw > 16:
+        return False
+    if np.float32(threshold) - np.float32(eps) <= 0:
+        return False  # num > c*den needs c > 0 to be equivalent to sim > c
+    if H * nw * 65025 >= 2**31:
+        return False  # window_stats would need i64 (f32 stats lose exactness)
+    vmem = 4 * (Hs8_ := ((Hs + 7) // 8) * 8 + nh - 1) * (W1 + nw) + 2 * 4 * Hs8_ * W1
+    return vmem < 10 * 2**20

@@ -8,6 +8,8 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# tests must not share AOT artifacts with other hosts/backends (SIGILL risk)
+os.environ["FOCR_TPU_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

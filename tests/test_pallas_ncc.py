@@ -1,0 +1,89 @@
+"""Pallas NCC kernel tests (interpret mode on CPU).
+
+The kernel's packed-bitmask candidate set must match the XLA path's candidate
+set exactly, and the full NccMatcher pipeline through the Pallas path must be
+hit-for-hit identical to the oracle (SURVEY.md §4 differential-oracle model).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from focr_tpu.models.types import DecodeOptions, RenderOptions
+from focr_tpu.ops import ncc as ncc_ops
+from focr_tpu.ops import pallas_ncc
+
+
+def _unpack(widx, wval, WW):
+    out = []
+    for wi, wv in zip(widx, wval):
+        if wi < 0:
+            break
+        y = int(wi) // WW
+        xb = (int(wi) % WW) * 32
+        for b in range(32):
+            if (int(np.uint32(wv)) >> b) & 1:
+                out.append((y, xb + b))
+    return out
+
+
+@pytest.mark.parametrize("seed,nh,nw", [(0, 7, 6), (1, 9, 13), (2, 4, 16), (3, 12, 8)])
+def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
+    rng = np.random.default_rng(seed)
+    H, W, T = 72, 101, 6
+    img = rng.integers(0, 40, (H, W), dtype=np.uint8)
+    needles = rng.integers(0, 255, (T, nh, nw), dtype=np.uint8)
+    for t, (x, y) in enumerate([(5, 9), (40, 30), (70, 50)]):
+        img[y : y + nh, x : x + nw] = needles[t % T]
+    s_n = needles.reshape(T, -1).astype(np.int64).sum(1)
+    s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
+    thr = jnp.asarray(np.float32(0.8))
+    assert pallas_ncc.pallas_supported(H, W, nw, nh, 0.8)
+
+    widx, wval, counts, nzw = jax.device_get(
+        pallas_ncc.ncc_candidates_pallas(
+            jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
+            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
+        )
+    )
+    idx, acc, sp, s2p, cnt = jax.device_get(
+        ncc_ops.ncc_candidates(
+            jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
+            jnp.asarray(s2), thr, nw=nw, nh=nh, cap=512,
+        )
+    )
+    WW = pallas_ncc.word_stride(W, nw)
+    W2 = W - nw
+    for t in range(T):
+        cand = _unpack(widx[t], wval[t], WW)
+        xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
+        assert cand == xla, f"needle {t}"
+        assert counts[t] == cnt[t]
+
+
+def test_pallas_matcher_matches_oracle(mono_font_path):
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    page = synthesize_page(face, ["AB01ab", "10BAba"], dopts, ropts, "AB01ab", (64, 128))
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1, threshold=0.8, device_kernel="pallas")
+    hp = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    assert len(hp) > 0
+    assert [
+        (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hp
+    ] == [
+        (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in ho
+    ]
+
+
+def test_pallas_unsupported_configs():
+    assert not pallas_ncc.pallas_supported(10, 100, 8, 5, 0.8)  # too few rows
+    assert not pallas_ncc.pallas_supported(100, 100, 17, 5, 0.8)  # needle too wide
+    assert not pallas_ncc.pallas_supported(100, 100, 8, 5, 0.0)  # thr - eps <= 0
+    assert not pallas_ncc.pallas_supported(8000, 8000, 8, 5, 0.8)  # VMEM budget
