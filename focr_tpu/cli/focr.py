@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verify", default=None, metavar="DIR",
                    help="dir for verify images. Red is reference, Blue is rendered")
     p.add_argument("--batch-size", type=int, default=16, help="pages per device batch")
+    p.add_argument("--strict", action="store_true",
+                   help="fail on the first unreadable page (reference panic semantics); "
+                        "default isolates per-page errors to stderr and continues")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the decode to DIR")
+    p.add_argument("--metrics-json", default=None, metavar="PATH",
+                   help="write structured run metrics (JSON) to PATH ('-' = stderr)")
     return p
 
 
@@ -66,16 +73,36 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     face = Face(args.font)
-    pages = load_gray_many(args.img)
+    if args.strict:
+        pages = load_gray_many(args.img)
+        errors: list[tuple[int, str]] = []
+    else:
+        from focr_tpu.io.images import load_gray_many_isolated
+
+        pages, errors = load_gray_many_isolated(args.img)
+        for i, err in errors:
+            print(f"ERROR {args.img[i]}: {err}", file=sys.stderr)
 
     from focr_tpu.models.focr import decode_pages
+    from focr_tpu.utils.metrics import metrics_run
 
-    results = decode_pages(pages, face, args.alphabet, dopts, ropts, batch_size=args.batch_size)
+    good_idx = [i for i, p in enumerate(pages) if p is not None]
+    good_pages = [pages[i] for i in good_idx]
+
+    with metrics_run(args.profile) as mrun:
+        good_results = decode_pages(
+            good_pages, face, args.alphabet, dopts, ropts, batch_size=args.batch_size
+        )
+    results: list[list] = [[] for _ in pages]
+    for i, lines in zip(good_idx, good_results):
+        results[i] = lines
 
     if args.verify is not None:
         from focr_tpu.io.overlays import draw_verify, red_blue_mse
 
         for img_path, page, lines in zip(args.img, pages, results):
+            if page is None:
+                continue
             overlay = draw_verify(page, lines, face, dopts, ropts)
             stem = os.path.splitext(os.path.basename(img_path))[0] + ".png"
             save_rgb(os.path.join(args.verify, stem), overlay)
@@ -86,6 +113,20 @@ def main(argv: list[str] | None = None) -> int:
     for lines in results:
         for line in lines:
             print(line.text, file=out)
+
+    if args.metrics_json is not None:
+        from focr_tpu.utils.metrics import write_metrics
+
+        write_metrics(
+            args.metrics_json,
+            tool="focr",
+            pages=len(pages),
+            decoded_pages=len(good_idx),
+            lines=sum(len(r) for r in results),
+            errors=[{"page": args.img[i], "error": e} for i, e in errors],
+            decode_seconds=mrun.seconds,
+            pages_per_sec=(len(good_idx) / mrun.seconds) if mrun.seconds else None,
+        )
     return 0
 
 

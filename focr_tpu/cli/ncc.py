@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--csv", action="store_true")
     p.add_argument("--raw", action="store_true")
+    p.add_argument("--strict", action="store_true",
+                   help="fail on the first unreadable page (reference panic semantics); "
+                        "default isolates per-page errors to stderr and continues")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the search to DIR")
+    p.add_argument("--metrics-json", default=None, metavar="PATH",
+                   help="write structured run metrics (JSON) to PATH ('-' = stderr)")
     return p
 
 
@@ -113,12 +120,24 @@ def main(argv: list[str] | None = None) -> int:
         get(page, verbose=args.verbose, raw=True, out=sys.stdout)
         return 0
 
+    from focr_tpu.utils.metrics import metrics_run
+
+    errors: list[tuple[int, str]] = []
     pages_out = []
-    for i, path in enumerate(args.img):
-        page = load_gray(path)
-        hits = get(page, verbose=args.verbose)
-        lines = process_hits(hits, args.anchor_threshold, args.overlap)
-        pages_out.append((i, lines))
+    with metrics_run(args.profile) as mrun:
+        for i, path in enumerate(args.img):
+            try:
+                page = load_gray(path)
+            except Exception as e:  # noqa: BLE001 - per-page isolation (§5.3)
+                if args.strict:
+                    raise
+                errors.append((i, f"{type(e).__name__}: {e}"))
+                print(f"ERROR {path}: {type(e).__name__}: {e}", file=sys.stderr)
+                pages_out.append((i, []))
+                continue
+            hits = get(page, verbose=args.verbose)
+            lines = process_hits(hits, args.anchor_threshold, args.overlap)
+            pages_out.append((i, lines))
 
     if args.csv:
         for i, lines in pages_out:
@@ -134,6 +153,21 @@ def main(argv: list[str] | None = None) -> int:
         for _, lines in pages_out:
             for line in lines:
                 print("".join(m.letter for m in line))
+
+    if args.metrics_json is not None:
+        from focr_tpu.utils.metrics import write_metrics
+
+        write_metrics(
+            args.metrics_json,
+            tool="ncc",
+            pages=len(args.img),
+            decoded_pages=len(args.img) - len(errors),
+            lines=sum(len(ls) for _, ls in pages_out),
+            hits=sum(len(m) for _, ls in pages_out for m in ls),
+            errors=[{"page": args.img[i], "error": e} for i, e in errors],
+            search_seconds=mrun.seconds,
+            engine=engine,
+        )
     return 0
 
 

@@ -90,6 +90,30 @@ def build_grid_bank(
     """
     if not is_monospace(face, alphabet, ropts):
         raise ValueError("grid bank requires a monospace alphabet (use the sequential fallback)")
+    from focr_tpu.utils import cache
+
+    key = cache.bank_key(
+        "grid",
+        face.path,
+        size=ropts.size,
+        kern_x=ropts.kern_x,
+        hinting=(ropts.hinting.full, ropts.hinting.size),
+        alphabet=alphabet,
+        crop_w=crop_w,
+        crop_h=crop_h,
+    )
+    if (hit := cache.load_arrays(key)) is not None:
+        return GridBank(
+            alphabet=alphabet,
+            templates=hit["templates"],
+            tsq=hit["tsq"],
+            wx0=hit["wx0"],
+            positions=hit["positions"],
+            crop_w=crop_w,
+            crop_h=crop_h,
+            monospace=True,
+        )
+
     gids = [face.glyph_for_char(c) for c in alphabet]
     ox, oy = alphabet_origin(face, alphabet, ropts)
     positions = cursor_positions(face, alphabet, ropts, crop_w)
@@ -129,6 +153,9 @@ def build_grid_bank(
 
     t64 = canvases.astype(np.int64)
     tsq = (t64 * t64).sum(axis=(2, 3)).astype(np.int32)
+    cache.store_arrays(
+        key, {"templates": templates, "tsq": tsq, "wx0": wx0, "positions": positions}
+    )
     return GridBank(
         alphabet=alphabet,
         templates=templates,
@@ -236,6 +263,36 @@ def build_needles(
 ) -> list[Needle]:
     """All (offset × letter) needles in reference iteration order
     (offsets outer, letters inner — ncc.rs:587-655)."""
+    from focr_tpu.utils import cache
+
+    key = cache.bank_key(
+        "needles",
+        face.path,
+        size=ropts.size,
+        hinting=(ropts.hinting.full, ropts.hinting.size),
+        alphabet=alphabet,
+        box=box_size.value,
+        x_bits=x_bits,
+        y_bits=y_bits,
+        padding=padding,
+    )
+    if (hit := cache.load_arrays(key)) is not None:
+        n = int(hit["n"][0])
+        return [
+            Needle(
+                letter=str(hit["letters"][i]),
+                offset=(float(hit["offsets"][i, 0]), float(hit["offsets"][i, 1])),
+                corrected_offset=(
+                    float(hit["corrected"][i, 0]),
+                    float(hit["corrected"][i, 1]),
+                ),
+                pixels=hit[f"px{i}"],
+                s_n=int(hit["s_n"][i]),
+                s2_n=int(hit["s2_n"][i]),
+            )
+            for i in range(n)
+        ]
+
     needles: list[Needle] = []
     for offset in offsets_grid(x_bits, y_bits):
         y_off, canvas_size = _box_for_offset(face, alphabet, ropts, box_size, offset)
@@ -253,4 +310,15 @@ def build_needles(
                     s2_n=int((p64 * p64).sum()),
                 )
             )
+    arrays: dict[str, np.ndarray] = {
+        "n": np.array([len(needles)]),
+        "letters": np.array([nd.letter for nd in needles]),
+        "offsets": np.array([nd.offset for nd in needles], dtype=np.float64),
+        "corrected": np.array([nd.corrected_offset for nd in needles], dtype=np.float64),
+        "s_n": np.array([nd.s_n for nd in needles], dtype=np.int64),
+        "s2_n": np.array([nd.s2_n for nd in needles], dtype=np.int64),
+    }
+    for i, nd in enumerate(needles):
+        arrays[f"px{i}"] = nd.pixels
+    cache.store_arrays(key, arrays)
     return needles

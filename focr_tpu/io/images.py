@@ -47,6 +47,26 @@ def load_gray_many(paths: list[str], max_workers: int = 8) -> list[np.ndarray]:
         return list(ex.map(load_gray, paths))
 
 
+def load_gray_many_isolated(
+    paths: list[str], max_workers: int = 8
+) -> tuple[list[np.ndarray | None], list[tuple[int, str]]]:
+    """Fault-isolating page loader (SURVEY.md §5.3): a bad PNG yields None for
+    its slot plus an (index, error) record instead of killing the whole batch
+    (the reference panics on the first unreadable page, main.rs:448)."""
+
+    def one(path: str):
+        try:
+            return load_gray(path), None
+        except Exception as e:  # noqa: BLE001 - isolate any per-page failure
+            return None, f"{type(e).__name__}: {e}"
+
+    with _futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        results = list(ex.map(one, paths))
+    pages = [r[0] for r in results]
+    errors = [(i, r[1]) for i, r in enumerate(results) if r[1] is not None]
+    return pages, errors
+
+
 def save_gray(path: str, img: np.ndarray) -> None:
     Image.fromarray(img, mode="L").save(path)
 

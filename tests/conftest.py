@@ -7,9 +7,13 @@ via jax[cpu] + virtual devices; the driver separately dry-runs multi-chip).
 import os
 import sys
 
+import tempfile
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 # tests must not share AOT artifacts with other hosts/backends (SIGILL risk)
 os.environ["FOCR_TPU_NO_COMPILE_CACHE"] = "1"
+# isolate the template-bank disk cache per test session (still exercised)
+os.environ["FOCR_TPU_CACHE_DIR"] = tempfile.mkdtemp(prefix="focr_banks_")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
