@@ -169,6 +169,131 @@ def build_grid_bank(
 
 
 # --------------------------------------------------------------------------
+# Proportional-font phase bank (focr sequential fallback, SURVEY.md §7 hard
+# part 4)
+# --------------------------------------------------------------------------
+
+PROP_PHASES = 64  # FreeType quantizes translations to 1/64 px (26.6 fixed)
+
+
+@dataclass(frozen=True)
+class PropBank:
+    """Per-(glyph, subpixel-phase) templates for the sequential greedy decode.
+
+    FreeType rounds the rasterization translation to 1/64 px
+    (`_to_f26dot6 = round(t*64)`, fonts/ft.py), and a post-hint translation by
+    whole pixels shifts the coverage bitmap exactly — so the bitmap the
+    reference draws at cursor t is templates[g, round(t*64) % 64] shifted by
+    round(t*64) // 64 px. 64 phases therefore make the device decode
+    BIT-EXACT, not approximate.
+
+    templates[g, p] is glyph g rendered at x = base + p/64 into a
+    (crop_h × wbank) canvas; colsq_cum[g, p, c] = Σ_{cols<c} Σ_rows T² gives
+    the exact clipped ‖T‖² when the window hangs past the line-canvas edge
+    (the reference clips ink at the canvas, main.rs:96-106).
+    """
+
+    alphabet: str
+    templates: np.ndarray  # [G, P, crop_h, wbank] u8
+    colsq_cum: np.ndarray  # [G, P, wbank+1] i32
+    advances: np.ndarray  # [G] f32 — cursor advance per glyph
+    base: int  # template canvas x margin (covers negative left bearing)
+    ox: np.float32  # alphabet origin (main.rs:131-147)
+    oy: np.float32
+    crop_h: int
+
+    @property
+    def n_glyphs(self) -> int:
+        return self.templates.shape[0]
+
+    @property
+    def wbank(self) -> int:
+        return self.templates.shape[3]
+
+
+def build_prop_bank(
+    face: Face, alphabet: str, ropts: RenderOptions, crop_h: int
+) -> PropBank:
+    """Rasterize the G×64 phase bank (cached on disk like the grid bank)."""
+    from focr_tpu.utils import cache
+
+    P = PROP_PHASES
+    gids = [face.glyph_for_char(c) for c in alphabet]
+    ox, oy = alphabet_origin(face, alphabet, ropts)
+    advances = np.array(
+        [advance_px(face, g, ropts) for g in gids], dtype=np.float32
+    )
+
+    key = cache.bank_key(
+        "prop",
+        face.path,
+        size=ropts.size,
+        kern_x=ropts.kern_x,
+        hinting=(ropts.hinting.full, ropts.hinting.size),
+        alphabet=alphabet,
+        crop_h=crop_h,
+        phases=P,
+    )
+    if (hit := cache.load_arrays(key)) is not None:
+        return PropBank(
+            alphabet=alphabet,
+            templates=hit["templates"],
+            colsq_cum=hit["colsq_cum"],
+            advances=advances,
+            base=int(hit["base"][0]),
+            ox=ox,
+            oy=oy,
+            crop_h=crop_h,
+        )
+
+    # canvas extent: union of raster bounds over glyphs and phases, ±2 px of
+    # slack (actual ink can exceed the metrics-derived bounds by a pixel)
+    x0 = x1 = 0
+    for g in gids:
+        for p in range(P):
+            rb = face.raster_bounds(g, ropts.size, (p / P, float(oy)), ropts.hinting)
+            x0 = min(x0, rb.x0)
+            x1 = max(x1, rb.x1)
+    base = -x0 + 2
+    wbank = base + x1 + 2
+
+    G = len(gids)
+    templates = np.zeros((G, P, crop_h, wbank), dtype=np.uint8)
+    canvas = Canvas(wbank, crop_h)
+    for gi, g in enumerate(gids):
+        for p in range(P):
+            canvas.fill(0)
+            face.rasterize_glyph(
+                canvas, g, ropts.size, (base + p / P, float(oy)), ropts.hinting
+            )
+            templates[gi, p] = canvas.pixels
+
+    colsq = (templates.astype(np.int64) ** 2).sum(axis=2)  # [G, P, wbank]
+    colsq_cum = np.zeros((G, P, wbank + 1), dtype=np.int64)
+    np.cumsum(colsq, axis=2, out=colsq_cum[:, :, 1:])
+    assert colsq_cum.max() < 2**31
+    colsq_cum = colsq_cum.astype(np.int32)
+    cache.store_arrays(
+        key,
+        {
+            "templates": templates,
+            "colsq_cum": colsq_cum,
+            "base": np.array([base]),
+        },
+    )
+    return PropBank(
+        alphabet=alphabet,
+        templates=templates,
+        colsq_cum=colsq_cum,
+        advances=advances,
+        base=base,
+        ox=ox,
+        oy=oy,
+        crop_h=crop_h,
+    )
+
+
+# --------------------------------------------------------------------------
 # NCC needle bank
 # --------------------------------------------------------------------------
 

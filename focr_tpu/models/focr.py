@@ -13,8 +13,10 @@ jitted kernel per page-shape bucket:
 
 Host-side assembly applies the row-loop semantics (white skip, bottom stop)
 and maps glyph ids back to characters. Monospace fonts take this fast path
-(the cursor grid is static, SURVEY.md §2.5); proportional fonts fall back to
-the sequential oracle decode, batched across nothing but still correct.
+(the cursor grid is static, SURVEY.md §2.5); proportional fonts take the
+lax.scan sequential device decoder (models/focr_prop.py — bit-exact, batched
+across every line of the batch), with the host oracle as a last-resort
+fallback for degenerate metrics (non-positive advances).
 """
 
 from __future__ import annotations
@@ -106,11 +108,22 @@ class GridDecoder:
         self._codes = np.array([ord(c) for c in alphabet], dtype=np.uint32)
         self._ascii = bool(alphabet) and max(map(ord, alphabet)) < 128
         self.groups: list[tuple[_RowGroup, object]] = []
+        self.prop_groups: list[tuple[_RowGroup, object]] = []
         if self.crop_w > 0 and self.monospace:
             for grp in _row_groups(dopts, H):
                 bank = build_grid_bank(face, alphabet, ropts, self.crop_w, grp.crop_h)
                 self.groups.append((grp, _make_group_fn(bank, grp.ys, self.x0)))
                 self._bank0 = bank
+        elif self.crop_w > 0 and alphabet:
+            from focr_tpu.fonts.bank import build_prop_bank
+            from focr_tpu.models.focr_prop import PropDecoder
+
+            try:
+                for grp in _row_groups(dopts, H):
+                    bank = build_prop_bank(face, alphabet, ropts, grp.crop_h)
+                    self.prop_groups.append((grp, PropDecoder(bank, self.crop_w)))
+            except ValueError:  # non-positive advance: host oracle fallback
+                self.prop_groups = []
 
     def decode_batch(self, pages: np.ndarray) -> list[list[DecodedLine]]:
         """pages [B, H, W] u8 -> per-page decoded lines in row order."""
@@ -121,11 +134,42 @@ class GridDecoder:
             # (empty-iterator all() == true), so no lines are ever emitted.
             return [[] for _ in range(B)]
         if not self.monospace:
+            if self.prop_groups:
+                return self._decode_prop(pages)
             return [
                 focr_oracle.decode_image(p, self.face, self.alphabet, self.dopts, self.ropts)
                 for p in pages
             ]
         return self._finish(self._dispatch(pages))
+
+    def _decode_prop(self, pages: np.ndarray) -> list[list[DecodedLine]]:
+        """Proportional-font batch decode via the lax.scan device path."""
+        B = pages.shape[0]
+        inv = (255 - pages.astype(np.int32)).astype(np.uint8)
+        per_row: dict[int, tuple[list[str], np.ndarray]] = {}
+        for grp, dec in self.prop_groups:
+            ch = grp.crop_h
+            strips = np.stack(
+                [inv[:, y : y + ch, self.x0 : self.x0 + self.crop_w] for y in grp.ys],
+                axis=1,
+            )  # [B, R, ch, cw]
+            white = strips.max(axis=(2, 3)) == 0
+            texts = dec.decode_lines(strips.reshape(-1, ch, self.crop_w))
+            R = len(grp.ys)
+            for ri, y in enumerate(grp.ys):
+                per_row[y] = (
+                    [texts[b * R + ri] for b in range(B)],
+                    white[:, ri],
+                )
+        out: list[list[DecodedLine]] = []
+        for b in range(B):
+            lines = []
+            for y in sorted(per_row):
+                texts, white = per_row[y]
+                if not white[b]:
+                    lines.append(DecodedLine(text=texts[b], y=int(y)))
+            out.append(lines)
+        return out
 
     def _dispatch(self, pages: np.ndarray) -> list:
         """Upload + enqueue the device work for one batch (async dispatch)."""

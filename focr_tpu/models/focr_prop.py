@@ -1,0 +1,124 @@
+"""Sequential greedy focr decode for proportional fonts — on device.
+
+The reference's cursor advance is data-dependent (main.rs:176-178: the cursor
+moves by the CHOSEN glyph's advance), so proportional fonts cannot use the
+static-grid batch path. SURVEY.md §7 hard part 4 prescribes the TPU shape
+this module implements: a ``lax.scan`` over cursor steps, each step one
+batched matmul over the alphabet for EVERY line of every page in the batch
+simultaneously — sequential in cells, massively parallel across lines.
+
+Bit-exactness (not an approximation): FreeType quantizes the rasterization
+translation to 1/64 px (round(t*64), fonts/ft.py::_to_f26dot6) and pixel
+shifts are coverage-exact, so glyph bitmaps at cursor t are the 64-entry
+phase bank (fonts/bank.py::PropBank) shifted by round(t*64)//64 px. The scan
+replicates the reference's f32 arithmetic op-for-op (pos accumulation,
+ox+pos, the pos<w loop bound — all IEEE f32, identical on TPU), scores with
+exact integer SSD (the ‖I‖²-cancelling expansion of ops/ssd.py), reproduces
+canvas edge clipping via per-column ‖T‖² cumsums, and keeps the first-min
+tie-break. Property-tested char-for-char against the oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from focr_tpu.fonts.bank import PropBank
+from focr_tpu.ops.ssd import exact_corr_mat
+
+
+def max_steps(bank: PropBank, crop_w: int) -> int:
+    """Upper bound on emitted cells per line (loop runs while pos < w)."""
+    min_adv = float(bank.advances.min())
+    if min_adv <= 0:
+        raise ValueError("non-positive glyph advance: sequential decode would not terminate")
+    return int(np.ceil(crop_w / min_adv)) + 1
+
+
+def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
+    """Build fn(strips [L, crop_h, crop_w] u8-valued inverted lines) ->
+    (ids [L, n_steps] i32 glyph ids, -1 past end-of-line).
+
+    Intermediate dtypes are pinned (i32/f32) — the package enables
+    jax_enable_x64, and silent i64/f64 promotion would both slow the TPU path
+    and break f32 parity with the reference.
+    """
+    G, P, crop_h, wbank = bank.templates.shape
+    K = crop_h * wbank
+    tmat = jnp.asarray(bank.templates.reshape(G * P, K))
+    csq = jnp.asarray(bank.colsq_cum)  # [G, P, wbank+1] i32
+    adv = jnp.asarray(bank.advances)  # [G] f32
+    ox = jnp.float32(bank.ox)
+    w_f = jnp.float32(crop_w)
+    base = jnp.int32(bank.base)
+
+    def fn(strips: jax.Array):
+        L = strips.shape[0]
+        # zero padding on both sides: windows never go out of bounds, and
+        # padded pixels are 0 = inverted white, contributing nothing to I·T
+        # (the clipped ‖T‖² handles the T side of canvas clipping exactly)
+        pad_r = wbank  # k <= round((ox + w)/1) < w + ox + 1 <= crop_w + base
+        strips_p = jnp.pad(
+            strips.astype(jnp.uint8),
+            ((0, 0), (0, 0), (bank.base, pad_r + int(np.ceil(float(bank.ox))) + 2)),
+        )
+
+        def slice_one(st, kk):
+            return jax.lax.dynamic_slice(st, (jnp.int32(0), kk), (crop_h, wbank))
+
+        def step(pos, _):
+            s = ox + pos  # [L] f32 — same op order as the oracle
+            t64 = jnp.round(s * jnp.float32(64.0)).astype(jnp.int32)
+            k = t64 >> 5 >> 1  # floor(t64/64); t64 >= 0 since ox, pos >= 0
+            p = t64 & jnp.int32(63)
+            start = k  # window col in padded strip = (k - base) + base
+            win = jax.vmap(slice_one)(strips_p, start)  # [L, crop_h, wbank]
+            acc = exact_corr_mat(win.reshape(L, K), tmat)  # [L, G*P] i32
+            accp = jnp.take_along_axis(
+                acc.reshape(L, G, P), p[:, None, None].astype(jnp.int32), axis=2
+            )[..., 0]  # [L, G]
+            # clipped ‖T‖²: template cols c are in-canvas iff
+            # 0 <= (k - base) + c < crop_w
+            lo = jnp.clip(base - k, jnp.int32(0), jnp.int32(wbank))
+            hi = jnp.clip(
+                jnp.int32(crop_w) - k + base, jnp.int32(0), jnp.int32(wbank)
+            )
+            csel = csq[:, :, :].transpose(1, 0, 2)[p]  # [L, G, wbank+1]
+            tsq = jnp.take_along_axis(
+                csel, hi[:, None, None].astype(jnp.int32), axis=2
+            )[..., 0] - jnp.take_along_axis(
+                csel, lo[:, None, None].astype(jnp.int32), axis=2
+            )[..., 0]
+            score = tsq - jnp.int32(2) * accp  # ‖I‖² cancels in the argmin
+            g = jnp.argmin(score, axis=1).astype(jnp.int32)  # first minimum
+            active = pos < w_f  # the reference loop bound (main.rs:158)
+            ids = jnp.where(active, g, jnp.int32(-1))
+            pos_next = jnp.where(active, pos + adv[g], pos)
+            return pos_next, ids
+
+        pos0 = jnp.zeros((L,), jnp.float32)
+        _, ids = jax.lax.scan(step, pos0, None, length=n_steps)
+        return jnp.swapaxes(ids, 0, 1)  # [L, n_steps]
+
+    return fn
+
+
+class PropDecoder:
+    """Device-side sequential decoder for one (crop_h, crop_w) line shape."""
+
+    def __init__(self, bank: PropBank, crop_w: int):
+        self.bank = bank
+        self.crop_w = crop_w
+        self.n_steps = max_steps(bank, crop_w)
+        self._fn = jax.jit(make_prop_forward(bank, crop_w, self.n_steps))
+
+    def decode_lines(self, strips: np.ndarray) -> list[str]:
+        """strips: [L, crop_h, crop_w] INVERTED line crops -> decoded texts."""
+        ids = np.asarray(self._fn(jnp.asarray(strips)))  # [L, n_steps]
+        alphabet = self.bank.alphabet
+        out = []
+        for row in ids:
+            n = int(np.argmax(row < 0)) if (row < 0).any() else len(row)
+            out.append("".join(alphabet[g] for g in row[:n]))
+        return out

@@ -87,6 +87,31 @@ def exact_corr(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
     return acc_hi * 16 + acc_lo
 
 
+def exact_corr_mat(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
+    """Exact integer correlation as a plain matmul.
+
+    wins: [L, K] integer-valued 0..255; tmpl: [T, K] u8 templates.
+    Returns [L, T] i32 == exact sum(wins * tmpl) per pair — same
+    bf16/nibble-split exactness scheme as exact_corr (module docstring).
+    """
+    K = tmpl.shape[-1]
+
+    def dot(t):
+        return jnp.einsum(
+            "lk,tk->lt",
+            wins.astype(jnp.bfloat16),
+            t.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    if K * 65025 < _EXACT_F32_LIMIT:
+        return dot(tmpl).astype(jnp.int32)
+    ti = tmpl.astype(jnp.int32)
+    hi = jnp.right_shift(ti, 4)
+    lo = jnp.bitwise_and(ti, 15)
+    return dot(hi).astype(jnp.int32) * 16 + dot(lo).astype(jnp.int32)
+
+
 def ssd_metric(wins: jax.Array, tmpl: jax.Array, tsq: jax.Array) -> jax.Array:
     """[B, R, C, G] i32 metric = ||T||^2 - 2 I.T (equi-argmin with full SSD)."""
     return tsq[None, None] - 2 * exact_corr(wins, tmpl)
