@@ -134,11 +134,15 @@ class NccMatcher:
         self.needles = build_needles(face, alphabet, ropts, box_size, x_bits, y_bits, padding)
         self.groups = _group_needles(self.needles)
         if device_kernel == "auto":
-            # measured on v5e: XLA's native conv emitter is HBM-bound-optimal
-            # for this sweep (~0.6ms/74-needle page) and beats the Pallas
-            # row-grid kernel by ~80x; Pallas remains the opt-in native tier
-            # (and the VMEM-bounded fallback shape for very large pages)
-            device_kernel = "xla"
+            # measured on v5e (distinct-input amortized, 74-needle letter
+            # page): Pallas 0.09ms/sweep vs XLA conv 0.25ms — the fused
+            # VMEM-resident kernel wins ~2.8x by never materializing the
+            # dense similarity plane in HBM. XLA remains the fallback for
+            # configs pallas_supported() rejects and for non-TPU backends
+            # (interpret-mode Pallas is test-only).
+            import jax
+
+            device_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         assert device_kernel in ("pallas", "xla")
         self.device_kernel = device_kernel
 

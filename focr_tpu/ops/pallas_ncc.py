@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TTILE = 64  # needles per grid step (bounds the VMEM-resident out block)
+_TTILE = 128  # needles per grid step: full MXU m-dim (measured 2x vs 64)
 
 
 def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
