@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verify", default=None, metavar="DIR",
                    help="dir for verify images. Red is reference, Blue is rendered")
     p.add_argument("--batch-size", type=int, default=16, help="pages per device batch")
+    p.add_argument("--mesh", choices=["auto", "off"], default="auto",
+                   help="shard page batches over all visible chips (auto: on when "
+                        ">1 device; single-chip runs are unaffected)")
+    p.add_argument("--glyph-shards", type=int, default=1,
+                   help="tensor-parallel shards of the glyph template bank "
+                        "(must divide the device count)")
     p.add_argument("--strict", action="store_true",
                    help="fail on the first unreadable page (reference panic semantics); "
                         "default isolates per-page errors to stderr and continues")
@@ -89,9 +95,20 @@ def main(argv: list[str] | None = None) -> int:
     good_idx = [i for i, p in enumerate(pages) if p is not None]
     good_pages = [pages[i] for i in good_idx]
 
+    mesh = None
+    if args.mesh == "auto":
+        import jax
+
+        from focr_tpu.parallel.mesh import maybe_init_distributed, page_mesh
+
+        maybe_init_distributed()
+        if jax.device_count() > 1:
+            mesh = page_mesh(glyph_shards=args.glyph_shards)
+
     with metrics_run(args.profile) as mrun:
         good_results = decode_pages(
-            good_pages, face, args.alphabet, dopts, ropts, batch_size=args.batch_size
+            good_pages, face, args.alphabet, dopts, ropts,
+            batch_size=args.batch_size, mesh=mesh,
         )
     results: list[list] = [[] for _ in pages]
     for i, lines in zip(good_idx, good_results):

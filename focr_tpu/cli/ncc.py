@@ -136,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
                 pages_out.append((i, []))
                 continue
             hits = get(page, verbose=args.verbose)
-            lines = process_hits(hits, args.anchor_threshold, args.overlap)
+            lines = process_hits(hits, args.anchor_threshold, args.overlap, verbose=args.verbose)
             pages_out.append((i, lines))
 
     if args.csv:

@@ -95,12 +95,17 @@ class GridDecoder:
         dopts: DecodeOptions,
         ropts: RenderOptions,
         page_shape: tuple[int, int],
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a 'pages' (and optionally
+        'glyphs') axis — shards the batch across chips (parallel/decode.py).
+        None = single-chip jit (identical results either way)."""
         self.face = face
         self.alphabet = alphabet
         self.dopts = dopts
         self.ropts = ropts
         self.page_shape = page_shape
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         H, W = page_shape
         self.x0 = min(dopts.x_start, W)
         self.crop_w = max(min(dopts.width, W - self.x0), 0)
@@ -112,7 +117,13 @@ class GridDecoder:
         if self.crop_w > 0 and self.monospace:
             for grp in _row_groups(dopts, H):
                 bank = build_grid_bank(face, alphabet, ropts, self.crop_w, grp.crop_h)
-                self.groups.append((grp, _make_group_fn(bank, grp.ys, self.x0)))
+                if self.mesh is not None:
+                    from focr_tpu.parallel.decode import make_sharded_grid_fn
+
+                    fn = make_sharded_grid_fn(bank, grp.ys, self.x0, self.mesh)
+                else:
+                    fn = _make_group_fn(bank, grp.ys, self.x0)
+                self.groups.append((grp, fn))
                 self._bank0 = bank
         elif self.crop_w > 0 and alphabet:
             from focr_tpu.fonts.bank import build_prop_bank
@@ -173,14 +184,24 @@ class GridDecoder:
 
     def _dispatch(self, pages: np.ndarray) -> list:
         """Upload + enqueue the device work for one batch (async dispatch)."""
-        pages_j = jnp.asarray(pages)
-        return [fn(pages_j) for _, fn in self.groups]
+        n = pages.shape[0]
+        if self.mesh is not None:
+            from focr_tpu.parallel.mesh import pad_batch, pages_sharding
 
-    def _finish(self, outs: list) -> list[list[DecodedLine]]:
+            pages, _ = pad_batch(pages, self.mesh.size)
+            pages_j = jax.device_put(jnp.asarray(pages), pages_sharding(self.mesh))
+        else:
+            pages_j = jnp.asarray(pages)
+        return (n, [fn(pages_j) for _, fn in self.groups])
+
+    def _finish(self, outs) -> list[list[DecodedLine]]:
         """Force one batch's device results and assemble text lines."""
-        fetched = jax.device_get(outs)  # one transfer for every group
+        n, group_outs = outs
+        fetched = jax.device_get(group_outs)  # one transfer for every group
         per_row: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # y -> (ids [B,C], white [B])
         for (grp, _), (ids, white) in zip(self.groups, fetched):
+            # mesh padding: trim white filler pages back off the batch
+            ids, white = ids[:n], white[:n]
             for ri, y in enumerate(grp.ys):
                 per_row[y] = (ids[:, ri], white[:, ri])
         ys_sorted = sorted(per_row)
@@ -226,16 +247,18 @@ def decode_pages(
     dopts: DecodeOptions,
     ropts: RenderOptions,
     batch_size: int = 16,
+    mesh=None,
 ) -> list[list[DecodedLine]]:
     """Decode a heterogeneous page list: bucket by shape, batch, reassemble.
 
     Replaces the rayon page fan-out (main.rs:442-471); page order is restored
-    exactly as the reference's sort-by-index does (main.rs:468)."""
+    exactly as the reference's sort-by-index does (main.rs:468). ``mesh``
+    shards each batch over a device mesh (multi-chip DP/TP)."""
     from focr_tpu.io.images import bucket_pages
 
     results: list[list[DecodedLine] | None] = [None] * len(pages)
     for bucket in bucket_pages(pages):
-        dec = GridDecoder(face, alphabet, dopts, ropts, bucket.shape)
+        dec = GridDecoder(face, alphabet, dopts, ropts, bucket.shape, mesh=mesh)
         arr = bucket.pages
         for s, decoded in decode_stream(dec, arr, batch_size):
             for j, lines in enumerate(decoded):

@@ -262,6 +262,7 @@ class NccMatcher:
         if verbose:
             print(f"overall {(time.perf_counter() - t00) * 1000.0:.4f}ms", file=sys.stderr)
             print(f"hits: {len(all_hits)}", file=sys.stderr)
+            _print_char_counts(all_hits)
         return all_hits
 
     @staticmethod
@@ -406,6 +407,7 @@ class NccMatcher:
         if verbose:
             print(f"overall {(time.perf_counter() - t00) * 1000.0:.4f}ms", file=sys.stderr)
             print(f"hits: {len(all_hits)}", file=sys.stderr)
+            _print_char_counts(all_hits)
         return all_hits
 
     def get_hits_oracle(
@@ -457,6 +459,16 @@ class NccMatcher:
                 f"{_f32(nd.offset[0])},{_f32(nd.offset[1])}",
                 file=out,
             )
+
+
+def _print_char_counts(all_hits: list[MatchWithLetter]) -> None:
+    """Per-char hit totals, sorted by (count, char), zeros skipped
+    (ncc.rs:709-718)."""
+    counts: dict[str, int] = {}
+    for h in all_hits:
+        counts[h.letter] = counts.get(h.letter, 0) + 1
+    for letter, count in sorted(counts.items(), key=lambda kv: (kv[1], kv[0])):
+        print(f"`{letter}` {count}", file=sys.stderr)
 
 
 def _f32(v) -> str:

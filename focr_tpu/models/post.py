@@ -16,6 +16,8 @@ process_hits/partition_by (reference src/ncc.rs:723-786, 1036-1052):
 
 from __future__ import annotations
 
+import sys
+import time
 from typing import Callable, Sequence, TypeVar
 
 import numpy as np
@@ -53,15 +55,28 @@ def process_hits(
     all_hits: Sequence[MatchWithLetter],
     anchor_threshold: float,
     overlap: int,
+    verbose: bool = False,
 ) -> list[list[MatchWithLetter]]:
-    """Reference process_hits (ncc.rs:723-786). Returns text lines of hits."""
+    """Reference process_hits (ncc.rs:723-786). Returns text lines of hits.
+
+    verbose replicates the reference diagnostics: per-kept-hit y dumps
+    (ncc.rs:743-746), the per-line Δx histogram over deduped neighbors
+    (ncc.rs:767-778), and the total processing span (ncc.rs:781-784) — all on
+    stderr.
+    """
+    t0 = time.perf_counter()
     anchor_f32 = np.float32(anchor_threshold)
     keep_y = {h.y for h in all_hits if np.float32(h.similarity) >= anchor_f32}
     hits = [h for h in all_hits if h.y in keep_y]
     if not hits:
+        if verbose:
+            print(f"processing took {int((time.perf_counter() - t0) * 1000)}ms", file=sys.stderr)
         return []
 
     hits.sort(key=lambda m: m.y)  # stable, like Rust sort_by_key
+    if verbose:
+        for h in hits:
+            print(f"{h.y} {h!r}", file=sys.stderr)
     line_slices = partition_by(hits, lambda a, b: a.y == b.y)
     lines: list[list[MatchWithLetter]] = []
     for i, j in line_slices:
@@ -76,5 +91,13 @@ def process_hits(
                 if sim >= best_sim:  # last max wins (Rust max_by semantics)
                     best, best_sim = m, sim
             dedup.append(best)
+        if verbose:
+            dx_counts: dict[int, int] = {}
+            for a, b in zip(dedup, dedup[1:]):
+                dx = b.x - a.x
+                dx_counts[dx] = dx_counts.get(dx, 0) + 1
+            print(dx_counts, file=sys.stderr)
         lines.append(dedup)
+    if verbose:
+        print(f"processing took {int((time.perf_counter() - t0) * 1000)}ms", file=sys.stderr)
     return lines

@@ -48,6 +48,24 @@ def pages_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P((PAGES_AXIS, GLYPHS_AXIS)))
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-host bring-up (SURVEY.md §5.8): call jax.distributed.initialize
+    when a coordinator is configured, so page batches shard across hosts (DCN)
+    as well as chips (ICI). No-op for the common single-process case.
+
+    Opt in via FOCR_TPU_DISTRIBUTED=1 (auto-detecting TPU-pod env) or by
+    setting the standard JAX coordinator variables
+    (JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID).
+    """
+    import os
+
+    explicit = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not (os.environ.get("FOCR_TPU_DISTRIBUTED") == "1" or explicit):
+        return False
+    jax.distributed.initialize()  # args come from env / TPU metadata
+    return True
+
+
 def pad_batch(pages: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     """Pad the batch axis up to ``multiple`` (padded pages are all-white, so
     the all-white row skip makes them decode to nothing). Returns (padded,

@@ -103,3 +103,59 @@ def test_sharded_ncc_matches_single_chip(setup, mono_font_path):
         )
         np.testing.assert_array_equal(idx_m[b], idx)
         np.testing.assert_array_equal(counts_m[b], counts)
+
+
+def test_grid_decoder_mesh_parity(mono_font_path):
+    """GridDecoder(mesh=...) must match the single-chip decoder exactly,
+    including batch padding/trim for non-divisible batch sizes."""
+    import numpy as np
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.focr import GridDecoder
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+    from focr_tpu.parallel.mesh import page_mesh
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=10.0)
+    dopts = DecodeOptions(x_start=3, y_start=4, line_height=12, line_advance=14, width=100)
+    shape = (50, 115)
+    rng = np.random.default_rng(5)
+    pages = np.stack([
+        synthesize_page(
+            face,
+            ["".join(rng.choice(list("AB01ab"), size=9)) for _ in range(3)],
+            dopts, ropts, "AB01ab", shape,
+        )
+        for _ in range(3)  # deliberately not a multiple of the mesh size
+    ])
+    single = GridDecoder(face, "AB01ab", dopts, ropts, shape)
+    mesh = page_mesh(glyph_shards=2)
+    sharded = GridDecoder(face, "AB01ab", dopts, ropts, shape, mesh=mesh)
+    a = single.decode_batch(pages)
+    b = sharded.decode_batch(pages)
+    assert [[(l.text, l.y) for l in p] for p in a] == [
+        [(l.text, l.y) for l in p] for p in b
+    ]
+
+
+def test_focr_cli_mesh_auto(mono_font_path, tmp_path, capsys):
+    """--mesh auto routes through the sharded decoder on the 8-dev CPU mesh."""
+    from PIL import Image
+
+    from focr_tpu.cli.focr import main
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.types import DecodeOptions, FOCR_DEFAULT_ALPHABET, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=120)
+    page = synthesize_page(face, ["AB01"], dopts, ropts, FOCR_DEFAULT_ALPHABET, (64, 140))
+    p = tmp_path / "m.png"
+    Image.fromarray(page).save(p)
+    rc = main(["-i", str(p), "-f", mono_font_path, "-t", "11", "-x", "5", "-y", "6",
+               "-w", "120", "--line-height", "13", "--line-advance", "15",
+               "--glyph-shards", "2"])
+    assert rc == 0
+    assert "AB01" in capsys.readouterr().out
