@@ -123,21 +123,30 @@ def main(argv: list[str] | None = None) -> int:
     from focr_tpu.utils.metrics import metrics_run
 
     errors: list[tuple[int, str]] = []
-    pages_out = []
+    loaded: list[tuple[int, np.ndarray]] = []
+    for i, path in enumerate(args.img):
+        try:
+            loaded.append((i, load_gray(path)))
+        except Exception as e:  # noqa: BLE001 - per-page isolation (§5.3)
+            if args.strict:
+                raise
+            errors.append((i, f"{type(e).__name__}: {e}"))
+            print(f"ERROR {path}: {type(e).__name__}: {e}", file=sys.stderr)
+
     with metrics_run(args.profile) as mrun:
-        for i, path in enumerate(args.img):
-            try:
-                page = load_gray(path)
-            except Exception as e:  # noqa: BLE001 - per-page isolation (§5.3)
-                if args.strict:
-                    raise
-                errors.append((i, f"{type(e).__name__}: {e}"))
-                print(f"ERROR {path}: {type(e).__name__}: {e}", file=sys.stderr)
-                pages_out.append((i, []))
-                continue
-            hits = get(page, verbose=args.verbose)
-            lines = process_hits(hits, args.anchor_threshold, args.overlap, verbose=args.verbose)
-            pages_out.append((i, lines))
+        if engine == "device" and len(loaded) > 1:
+            # multi-page pipeline: all device sweeps enqueue before any
+            # host replay (amortizes dispatch latency across the corpus)
+            hit_lists = matcher.get_hits_many(
+                [p for _, p in loaded], verbose=args.verbose
+            )
+        else:
+            hit_lists = [get(p, verbose=args.verbose) for _, p in loaded]
+        lines_by_page = {
+            i: process_hits(h, args.anchor_threshold, args.overlap, verbose=args.verbose)
+            for (i, _), h in zip(loaded, hit_lists)
+        }
+    pages_out = [(i, lines_by_page.get(i, [])) for i in range(len(args.img))]
 
     if args.csv:
         for i, lines in pages_out:

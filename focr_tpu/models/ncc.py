@@ -48,7 +48,33 @@ def ncc_ops_pallas_call(inv_j, grp, thr_f32, capw: int):
         interpret=interpret,
     )
 
-_CAP = MAX_MATCHES + 1024  # device candidate capacity (ε superset of matches)
+_CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA path
+_CAPW = 32768  # GLOBAL nonzero-word capacity for the Pallas path (256KB fetch)
+
+
+def _fetch_plans_many(dispatched: list) -> list:
+    """Fetch every page's device outputs in ONE jax.device_get wave.
+
+    device_get issues async copy_to_host for all leaves before blocking, so
+    the whole corpus costs one transfer round trip instead of one per array —
+    per-fetch latency (not bandwidth) dominates off-chip."""
+    import jax
+
+    all_outs = jax.device_get(
+        [[o for _, _, o in plan if o is not None] for _, _, plan in dispatched]
+    )
+    out = []
+    for (page, inv, plan), fetched in zip(dispatched, all_outs):
+        it = iter(fetched)
+        out.append(
+            (page, inv, [(g, k, next(it) if o is not None else None) for g, k, o in plan])
+        )
+    return out
+
+
+def _fetch_plans(dispatched) -> tuple:
+    """Single-page variant of _fetch_plans_many."""
+    return _fetch_plans_many([dispatched])[0]
 
 
 def _host_searcher(page: np.ndarray):
@@ -104,11 +130,13 @@ def exact_similarities(
     """
     nf = np.float64(n)
     n_recip = np.float64(1.0) / nf
+    s_n64 = np.asarray(s_n, dtype=np.float64)  # scalar or per-candidate array
+    s2_n64 = np.asarray(s2_n, dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        rnorm_n = np.float64(1.0) / np.sqrt(np.float64(s2_n) - np.float64(s_n * s_n) / nf)
+        rnorm_n = np.float64(1.0) / np.sqrt(s2_n64 - s_n64 * s_n64 / nf)
         norm_p = s2p.astype(np.float64) - (sp.astype(np.float64) * sp.astype(np.float64)) / nf
         rnorm_p = np.float64(1.0) / np.sqrt(norm_p)
-        num = acc.astype(np.float64) - (np.float64(s_n) * sp.astype(np.float64)) * n_recip
+        num = acc.astype(np.float64) - (s_n64 * sp.astype(np.float64)) * n_recip
         return num * (rnorm_n * rnorm_p)
 
 
@@ -155,34 +183,40 @@ class NccMatcher:
     ) -> list[MatchWithLetter]:
         """Device search + exact host recheck; hits in reference order
         (get_hits, ncc.rs:544-721)."""
+        return self._collect_page(
+            _fetch_plans(self._dispatch_page(page)), verbose, raw, out
+        )
+
+    def get_hits_many(
+        self, pages: list[np.ndarray], verbose: bool = False
+    ) -> list[list[MatchWithLetter]]:
+        """Multi-page pipeline: dispatch EVERY page's device sweeps first
+        (uploads serialize, compute queues asynchronously), then fetch +
+        exact-replay per page — amortizing dispatch latency across the corpus
+        (the reference's rayon fan-out, ncc.rs:839-847, re-expressed as
+        device-queue pipelining)."""
+        dispatched = [self._dispatch_page(p) for p in pages]
+        dispatched = _fetch_plans_many(dispatched)  # ONE transfer wave
+        return [self._collect_page(d, verbose, False, None) for d in dispatched]
+
+    def _dispatch_page(self, page: np.ndarray):
+        """Phase 1: enqueue all device work for one page; nothing is fetched."""
         H, W = page.shape
         inv = (255 - page.astype(np.int32)).astype(np.uint8)
         inv_j = jnp.asarray(inv)
         thr_f32 = np.float32(self.threshold)
-        thr_f64 = np.float64(thr_f32)
-
-        per_needle: dict[int, list[MatchWithLetter]] = {}
-        t00 = time.perf_counter()
-        oracle_searcher = None
-        tables = None  # (inv_i64, sum_table, sumsqr_table) for pallas replay
+        plan: list[tuple[_Group, str, object]] = []
         for grp in self.groups:
-            n = grp.nh * grp.nw
             if grp.nh >= H or grp.nw >= W:
-                for i in grp.needle_ids:
-                    per_needle[i] = []
+                plan.append((grp, "empty", None))
                 continue
             if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
                 H, W, grp.nw, grp.nh, self.threshold
             ):
-                if tables is None:
-                    tables = self._replay_tables(inv)
-                oracle_searcher = self._pallas_group(
-                    grp, inv_j, tables, thr_f32, thr_f64, per_needle,
-                    page, oracle_searcher, verbose, H, W,
-                )
+                outs = ncc_ops_pallas_call(inv_j, grp, thr_f32, capw=_CAPW)
+                plan.append((grp, "pallas", outs))
                 continue
-            t0 = time.perf_counter()
-            idx, acc, sp, s2p, counts = ncc_ops.ncc_candidates(
+            outs = ncc_ops.ncc_candidates(
                 inv_j,
                 jnp.asarray(grp.bank),
                 jnp.asarray(grp.s_n),
@@ -192,13 +226,38 @@ class NccMatcher:
                 nh=grp.nh,
                 cap=_CAP,
             )
-            idx, acc, sp, s2p, counts = (
-                np.asarray(idx),
-                np.asarray(acc),
-                np.asarray(sp),
-                np.asarray(s2p),
-                np.asarray(counts),
-            )
+            plan.append((grp, "xla", outs))
+        return page, inv, plan
+
+    def _collect_page(
+        self, dispatched, verbose: bool, raw: bool, out
+    ) -> list[MatchWithLetter]:
+        """Phase 2: fetch one page's device results, replay exact f64."""
+        page, inv, plan = dispatched
+        H, W = page.shape
+        thr_f32 = np.float32(self.threshold)
+        thr_f64 = np.float64(thr_f32)
+
+        per_needle: dict[int, list[MatchWithLetter]] = {}
+        t00 = time.perf_counter()
+        oracle_searcher = None
+        tables = None  # (inv_i64, sum_table, sumsqr_table) for pallas replay
+        for grp, kind, outs in plan:
+            n = grp.nh * grp.nw
+            if kind == "empty":
+                for i in grp.needle_ids:
+                    per_needle[i] = []
+                continue
+            if kind == "pallas":
+                if tables is None:
+                    tables = self._replay_tables(inv)
+                oracle_searcher = self._pallas_group(
+                    grp, outs, tables, thr_f32, thr_f64, per_needle,
+                    page, oracle_searcher, verbose, H, W,
+                )
+                continue
+            t0 = time.perf_counter()
+            idx, acc, sp, s2p, counts = (np.asarray(o) for o in outs)
             elapsed = time.perf_counter() - t0
             W2 = W - grp.nw
             cap_eff = idx.shape[1]
@@ -278,48 +337,43 @@ class NccMatcher:
         )
 
     def _pallas_group(
-        self, grp, inv_j, tables, thr_f32, thr_f64, per_needle,
+        self, grp, outs, tables, thr_f32, thr_f64, per_needle,
         page, oracle_searcher, verbose, H, W,
     ):
-        """One size group through the Pallas bitmask kernel + host replay."""
+        """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
         t0 = time.perf_counter()
-        widx, wval, counts, nzw = ncc_ops_pallas_call(
-            inv_j, grp, thr_f32, capw=_CAP
-        )
-        widx, wval, counts, nzw = (
-            np.asarray(widx), np.asarray(wval), np.asarray(counts), np.asarray(nzw)
-        )
+        widx, wval, counts, nzw = (np.asarray(o) for o in outs)
         elapsed = time.perf_counter() - t0
         inv64, st, s2t = tables
         WW = pallas_ncc.word_stride(W, grp.nw)
+        stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
         wins = np.lib.stride_tricks.sliding_window_view(inv64, (grp.nh, grp.nw))
         bit = np.arange(32, dtype=np.int64)
-        for ti, i in enumerate(grp.needle_ids):
-            nd = self.needles[i]
-            if nzw[ti] > widx.shape[1]:
-                # nonzero-word overflow (pathological): exact host fallback
-                if oracle_searcher is None:
-                    oracle_searcher = _host_searcher(page)
-                ms = oracle_searcher.search(nd.pixels, self.threshold)
-                per_needle[i] = [
-                    MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
-                    for m in ms
-                ]
-                continue
-            sel = widx[ti] >= 0
-            w = widx[ti][sel].astype(np.int64)
-            v = wval[ti][sel].astype(np.uint32)
-            # unpack: scan order = ascending word, ascending bit
-            bits = ((v[:, None] >> bit.astype(np.uint32)) & 1).astype(bool)
-            ys = np.broadcast_to((w // WW)[:, None], bits.shape)[bits]
-            xs = (np.broadcast_to(((w % WW) * 32)[:, None] + bit[None], bits.shape))[bits]
-            if len(ys) == 0:
-                per_needle[i] = []
-                continue
-            acc = np.einsum(
-                "kij,ij->k", wins[ys, xs], nd.pixels.astype(np.int64)
-            )
+
+        T = len(grp.needle_ids)
+        sel_all = widx >= 0
+        w_all = widx[sel_all].astype(np.int64)
+        v_all = wval[sel_all].astype(np.uint32)
+        nid = w_all // stride  # needle tile index per kept word (ascending)
+        # global-cap overflow: words past the capw-th were dropped; every
+        # needle from the one containing the LAST kept word onward is suspect
+        if int(nzw[0]) > widx.shape[0]:
+            first_suspect = int(nid[-1]) if len(nid) else 0
+        else:
+            first_suspect = T
+
+        # unpack EVERY candidate of the group at once; np.nonzero is
+        # row-major so (word, bit) stays in (needle, scan) order
+        bits = ((v_all[:, None] >> bit.astype(np.uint32)[None, :]) & 1).astype(bool)
+        wi, b = np.nonzero(bits)
+        nid_c = nid[wi]
+        w_in = w_all[wi] % stride
+        ys = w_in // WW
+        xs = (w_in % WW) * 32 + b
+        if len(ys):
+            bank64 = grp.bank.astype(np.int64)
+            acc = (wins[ys, xs] * bank64[nid_c]).sum(axis=(1, 2))
             sp = (
                 st[ys + grp.nh - 1, xs + grp.nw - 1]
                 - st[ys + grp.nh - 1, xs - 1]
@@ -333,15 +387,36 @@ class NccMatcher:
                 - s2t[ys - 1, xs + grp.nw - 1]
             )
             sim = exact_similarities(
-                acc, sp, s2p, int(grp.s_n[ti]), int(grp.s2_n[ti]), n
+                acc, sp, s2p, grp.s_n[nid_c], grp.s2_n[nid_c], n
             )
-            keep = (sim != np.inf) & (sim > thr_f64)
+        else:
+            sim = np.zeros(0, np.float64)
+        cs = np.searchsorted(nid_c, np.arange(T))
+        ce = np.searchsorted(nid_c, np.arange(T) + 1)
+
+        for ti, i in enumerate(grp.needle_ids):
+            nd = self.needles[i]
+            if ti >= first_suspect:
+                # truncated by the global word cap (pathological density):
+                # exact host fallback for this needle only
+                if oracle_searcher is None:
+                    oracle_searcher = _host_searcher(page)
+                ms = oracle_searcher.search(nd.pixels, self.threshold)
+                per_needle[i] = [
+                    MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
+                    for m in ms
+                ]
+                continue
+            s = slice(cs[ti], ce[ti])
+            keep = (sim[s] != np.inf) & (sim[s] > thr_f64)
             hits = [
                 MatchWithLetter(
-                    nd.letter, int(x), int(y), grp.nw, grp.nh, float(np.float32(s))
+                    nd.letter, int(x), int(y), grp.nw, grp.nh, float(np.float32(sm))
                 )
-                for x, y, s in zip(
-                    xs[keep][:MAX_MATCHES], ys[keep][:MAX_MATCHES], sim[keep][:MAX_MATCHES]
+                for x, y, sm in zip(
+                    xs[s][keep][:MAX_MATCHES],
+                    ys[s][keep][:MAX_MATCHES],
+                    sim[s][keep][:MAX_MATCHES],
                 )
             ]
             if keep.sum() >= MAX_MATCHES:

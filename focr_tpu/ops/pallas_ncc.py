@@ -136,17 +136,25 @@ def ncc_candidates_pallas(
     """Pallas-backed candidate search for one needle-size group.
 
     Returns (word_idx, word_val, counts, nz_words):
-      word_idx [T, capw] i32 — scan-order indices of the first capw nonzero
-               32-bit mask words; word w covers window columns
-               x in [(w % WW)*32, …+32) of row y = w // WW, where
-               WW = W1/32 and W1 is the padded window-column count
-               (= word_stride(W, nw) * 32). -1 padded.
-      word_val [T, capw] i32 — the packed bits of each selected word
-      counts   [T] i32       — exact total candidate count
-      nz_words [T] i32       — total nonzero words (overflow iff > capw)
+      word_idx [capw] i32 — ascending GLOBAL linear indices of the first capw
+               nonzero 32-bit mask words across ALL needles; index g belongs
+               to needle t = g // (Hs8*WW), and its word w = g % (Hs8*WW)
+               covers window columns x in [(w % WW)*32, …+32) of row
+               y = w // WW, where WW = W1/32 and W1 is the padded
+               window-column count (= word_stride(W, nw) * 32). -1 padded.
+               Ascending global order == (needle, scan-order) grouping, so
+               the caller splits per needle with one searchsorted.
+      word_val [capw] i32 — the packed bits of each selected word
+      counts   [T] i32    — exact per-needle candidate count
+      nz_words [1] i32    — total nonzero words; needles whose word ranges
+               lie past the capw-th kept word were truncated (overflow iff
+               nz_words > capw) and need the host fallback
 
-    The caller unpacks bits host-side (scan order: ascending word, ascending
-    bit) and replays the exact f64 similarity per candidate.
+    One global buffer instead of a [T, capw] plane cuts the device->host
+    fetch ~T× (the per-needle padding is almost entirely empty), which is the
+    dominant per-page cost off-chip. The caller unpacks bits host-side (scan
+    order: ascending word, ascending bit) and replays the exact f64
+    similarity per candidate.
     """
     from focr_tpu.ops.ncc import window_stats
 
@@ -206,19 +214,20 @@ def ncc_candidates_pallas(
     b = mask_bytes.reshape(T, Hs8, WW, 4).astype(jnp.int32)
     packed = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
 
-    # compact the nonzero words in scan order (the 32x-smaller domain)
-    flat = packed.reshape(T, Hs8 * WW)
+    # compact the nonzero words GLOBALLY in (needle, scan) order — ascending
+    # linear index over the flattened [T, Hs8*WW] plane preserves both
+    flat = packed.reshape(T * Hs8 * WW)
     nz = flat != 0
-    word_lin = jax.lax.broadcasted_iota(jnp.int32, (T, Hs8 * WW), 1)
+    word_lin = jax.lax.iota(jnp.int32, T * Hs8 * WW)
     big = jnp.int32(2**31 - 1)
     key = jnp.where(nz, word_lin, big)
-    k = min(capw, Hs8 * WW)
+    k = min(capw, T * Hs8 * WW)
     neg_top, _ = jax.lax.top_k(-key, k)
     idx = -neg_top
     found = idx < big
     idx_safe = jnp.where(found, idx, 0)
-    vals = jnp.take_along_axis(flat, idx_safe, axis=1)
-    nz_words = nz.sum(axis=1, dtype=jnp.int32)
+    vals = flat[idx_safe]
+    nz_words = nz.sum(dtype=jnp.int32).reshape(1)
     return (
         jnp.where(found, idx, -1),
         jnp.where(found, vals, 0),
@@ -259,6 +268,12 @@ def _call(kernel, grid, Hs8, Tp, Tt, WB, W1, n, img_shape, interpret, *args):
 def word_stride(W: int, nw: int) -> int:
     """Mask words per row (ceil of the window-column count / 32)."""
     return (W - nw + 1 + 31) // 32
+
+
+def words_per_needle(H: int, W: int, nw: int, nh: int) -> int:
+    """Global-index stride between needles in the compacted word buffer."""
+    Hs8 = ((H - nh + 1 + 7) // 8) * 8
+    return Hs8 * word_stride(W, nw)
 
 
 def pallas_supported(

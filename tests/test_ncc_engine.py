@@ -101,3 +101,26 @@ def test_process_hits_anchor_filter():
 
 def test_process_hits_empty():
     assert process_hits([], 0.95, 5) == []
+
+
+def test_get_hits_many_matches_single(mono_font_path):
+    """Batched multi-page dispatch must be hit-for-hit identical to per-page."""
+    import numpy as np
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    pages = [
+        synthesize_page(face, [t], dopts, ropts, "AB01ab", (64, 128))
+        for t in ("AB01ab", "ba10BA", "A0b1aB")
+    ]
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1)
+    many = m.get_hits_many(pages)
+    single = [m.get_hits(p) for p in pages]
+    key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
+    assert [key(h) for h in many] == [key(h) for h in single]

@@ -15,13 +15,17 @@ from focr_tpu.ops import ncc as ncc_ops
 from focr_tpu.ops import pallas_ncc
 
 
-def _unpack(widx, wval, WW):
+def _unpack(widx, wval, WW, stride, t):
+    """Candidates of needle t from the GLOBAL compacted word buffer."""
     out = []
     for wi, wv in zip(widx, wval):
         if wi < 0:
             break
-        y = int(wi) // WW
-        xb = (int(wi) % WW) * 32
+        if wi // stride != t:
+            continue
+        w = int(wi) % stride
+        y = w // WW
+        xb = (w % WW) * 32
         for b in range(32):
             if (int(np.uint32(wv)) >> b) & 1:
                 out.append((y, xb + b))
@@ -54,9 +58,11 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
         )
     )
     WW = pallas_ncc.word_stride(W, nw)
+    stride = pallas_ncc.words_per_needle(H, W, nw, nh)
     W2 = W - nw
+    assert nzw[0] <= len(widx), "cap overflow would invalidate the comparison"
     for t in range(T):
-        cand = _unpack(widx[t], wval[t], WW)
+        cand = _unpack(widx, wval, WW, stride, t)
         xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
         assert cand == xla, f"needle {t}"
         assert counts[t] == cnt[t]
@@ -87,3 +93,34 @@ def test_pallas_unsupported_configs():
     assert not pallas_ncc.pallas_supported(100, 100, 17, 5, 0.8)  # needle too wide
     assert not pallas_ncc.pallas_supported(100, 100, 8, 5, 0.0)  # thr - eps <= 0
     assert not pallas_ncc.pallas_supported(8000, 8000, 8, 5, 0.8)  # VMEM budget
+
+
+def test_pallas_global_cap_overflow_falls_back(mono_font_path, monkeypatch):
+    """When the global word cap truncates, suspect needles go through the
+    exact host fallback — results still bit-identical to the oracle."""
+    import focr_tpu.models.ncc as ncc_mod
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    monkeypatch.setattr(ncc_mod, "_CAPW", 2)  # force overflow
+    fallbacks = []
+    orig = ncc_mod._host_searcher
+
+    def spy(page):
+        fallbacks.append(1)
+        return orig(page)
+
+    monkeypatch.setattr(ncc_mod, "_host_searcher", spy)
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    page = synthesize_page(face, ["ABABAB", "ababab"], dopts, ropts, "ABab", (64, 128))
+    m = NccMatcher(face, "ABab", ropts, threshold=0.5, device_kernel="pallas")
+    hp = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    assert fallbacks, "global cap never overflowed: test exercised nothing"
+    assert len(hp) > 0
+    key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
+    assert key(hp) == key(ho)
