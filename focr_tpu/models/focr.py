@@ -57,6 +57,43 @@ def _row_groups(dopts: DecodeOptions, H: int) -> list[_RowGroup]:
     return [_RowGroup(crop_h=ch, ys=tuple(ys)) for ch, ys in sorted(groups.items(), reverse=True)]
 
 
+def make_strip_forward(bank: GridBank):
+    """[B, R, crop_h, crop_w] u8 strips -> (ids, white): the single-chip fast
+    path. Strips are cropped on the HOST so only scan-rectangle bytes cross
+    the host->device link (~33% of a page for the canonical grid — the link,
+    not compute, bounds end-to-end throughput)."""
+    tmpl = jnp.asarray(bank.templates)
+    tsq = jnp.asarray(bank.tsq)
+    win_w = bank.win_w
+    wx0 = bank.wx0
+
+    def fn(strips: jax.Array):
+        inv = 255 - strips.astype(jnp.int32)  # [B, R, h, crop_w]
+        white = jnp.max(inv, axis=(2, 3)) == 0
+        wins = ssd.extract_windows(inv, wx0, win_w)
+        metric = ssd.ssd_metric(wins, tmpl, tsq)
+        ids = ssd.argmin_glyph(metric)
+        if bank.n_glyphs <= 255:
+            ids = ids.astype(jnp.uint8)
+        return ids, white
+
+    return fn
+
+
+def crop_strips(pages: np.ndarray, ys: tuple[int, ...], crop_h: int, x0: int, crop_w: int):
+    """Host-side scan-rectangle crop: [B, H, W] -> [B, R, crop_h, crop_w] u8.
+
+    Rows whose rectangle hangs past the page bottom are white-padded — the
+    caller only passes ys whose crop height equals crop_h (see _row_groups),
+    so padding never actually materializes for grouped rows."""
+    B, H, W = pages.shape
+    out = np.full((B, len(ys), crop_h, crop_w), 255, dtype=np.uint8)
+    for ri, y in enumerate(ys):
+        h = min(crop_h, H - y)
+        out[:, ri, :h] = pages[:, y : y + h, x0 : x0 + crop_w]
+    return out
+
+
 def make_grid_forward(bank: GridBank, ys: tuple[int, ...], x0: int):
     """Build the pure [B,H,W] -> (ids [B,R,C], white [B,R]) forward function
     (un-jitted; the flagship compute step exported via __graft_entry__)."""
@@ -122,7 +159,7 @@ class GridDecoder:
 
                     fn = make_sharded_grid_fn(bank, grp.ys, self.x0, self.mesh)
                 else:
-                    fn = _make_group_fn(bank, grp.ys, self.x0)
+                    fn = jax.jit(make_strip_forward(bank))
                 self.groups.append((grp, fn))
                 self._bank0 = bank
         elif self.crop_w > 0 and alphabet:
@@ -190,9 +227,15 @@ class GridDecoder:
 
             pages, _ = pad_batch(pages, self.mesh.size)
             pages_j = jax.device_put(jnp.asarray(pages), pages_sharding(self.mesh))
-        else:
-            pages_j = jnp.asarray(pages)
-        return (n, [fn(pages_j) for _, fn in self.groups])
+            return (n, [fn(pages_j) for _, fn in self.groups])
+        # single chip: crop scan strips on host, upload only those bytes
+        return (
+            n,
+            [
+                fn(jnp.asarray(crop_strips(pages, grp.ys, grp.crop_h, self.x0, self.crop_w)))
+                for grp, fn in self.groups
+            ],
+        )
 
     def _finish(self, outs) -> list[list[DecodedLine]]:
         """Force one batch's device results and assemble text lines."""

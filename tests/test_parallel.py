@@ -45,10 +45,13 @@ def test_sharded_grid_matches_single_chip(setup, glyph_shards):
     mesh = page_mesh(glyph_shards=glyph_shards)
     dec = GridDecoder(face, ALPHA, dopts, ropts, shape)
     padded, B = pad_batch(pages, mesh.shape["pages"])
+    from focr_tpu.models.focr import crop_strips
+
     for (grp, fn_single) in dec.groups:
         bank = build_grid_bank(face, ALPHA, ropts, dec.crop_w, grp.crop_h)
         fn_sharded = make_sharded_grid_fn(bank, grp.ys, dec.x0, mesh)
-        ids_s, white_s = jax.device_get(fn_single(pages))
+        strips = crop_strips(pages, grp.ys, grp.crop_h, dec.x0, dec.crop_w)
+        ids_s, white_s = jax.device_get(fn_single(strips))
         ids_m, white_m = jax.device_get(fn_sharded(padded))
         np.testing.assert_array_equal(ids_m[:B], ids_s)
         np.testing.assert_array_equal(white_m[:B], white_s)
