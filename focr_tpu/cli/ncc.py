@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--csv", action="store_true")
     p.add_argument("--raw", action="store_true")
+    p.add_argument("--mesh", choices=["auto", "off"], default="auto",
+                   help="shard page batches over all visible chips (auto: on when "
+                        ">1 device; single-chip runs are unaffected)")
     p.add_argument("--strict", action="store_true",
                    help="fail on the first unreadable page (reference panic semantics); "
                         "default isolates per-page errors to stderr and continues")
@@ -133,8 +136,30 @@ def main(argv: list[str] | None = None) -> int:
             errors.append((i, f"{type(e).__name__}: {e}"))
             print(f"ERROR {path}: {type(e).__name__}: {e}", file=sys.stderr)
 
+    mesh = None
+    if args.mesh == "auto" and engine == "device":
+        import jax
+
+        from focr_tpu.parallel.mesh import maybe_init_distributed, page_mesh
+
+        maybe_init_distributed()
+        if jax.device_count() > 1:
+            mesh = page_mesh(glyph_shards=1)
+
     with metrics_run(args.profile) as mrun:
-        if engine == "device" and len(loaded) > 1:
+        if engine == "device" and mesh is not None and len(loaded) > 1:
+            # multi-chip: shard same-shape page buckets over the mesh
+            hit_lists = [None] * len(loaded)
+            buckets: dict[tuple[int, int], list[int]] = {}
+            for j, (_, p) in enumerate(loaded):
+                buckets.setdefault(p.shape, []).append(j)
+            for idxs in buckets.values():
+                outs = matcher.get_hits_many_sharded(
+                    [loaded[j][1] for j in idxs], mesh, verbose=args.verbose
+                )
+                for j, h in zip(idxs, outs):
+                    hit_lists[j] = h
+        elif engine == "device" and len(loaded) > 1:
             # multi-page pipeline: all device sweeps enqueue before any
             # host replay (amortizes dispatch latency across the corpus)
             hit_lists = matcher.get_hits_many(

@@ -199,6 +199,53 @@ class NccMatcher:
         dispatched = _fetch_plans_many(dispatched)  # ONE transfer wave
         return [self._collect_page(d, verbose, False, None) for d in dispatched]
 
+    def get_hits_many_sharded(
+        self, pages: list[np.ndarray], mesh, verbose: bool = False
+    ) -> list[list[MatchWithLetter]]:
+        """Multi-chip corpus search: pages batch over the mesh's devices
+        (data-parallel, SURVEY.md §2.5/§5.8), one sharded sweep per
+        needle-size group; the host replay is unchanged. Bit-identical to
+        get_hits_many. Pages must share one shape (caller buckets)."""
+        from focr_tpu.parallel.decode import make_sharded_ncc_fn
+        from focr_tpu.parallel.mesh import pad_batch
+
+        if not pages:
+            return []
+        H, W = pages[0].shape
+        assert all(p.shape == (H, W) for p in pages), "bucket pages by shape first"
+        inv = (255 - np.stack(pages).astype(np.int32)).astype(np.uint8)
+        inv_p, B = pad_batch(inv, mesh.size)
+        inv_j = jnp.asarray(inv_p)
+
+        group_outs: list[tuple[_Group, str, object]] = []
+        for grp in self.groups:
+            if grp.nh >= H or grp.nw >= W:
+                group_outs.append((grp, "empty", None))
+                continue
+            fn = make_sharded_ncc_fn(
+                mesh, grp.bank, grp.s_n, grp.s2_n, self.threshold, cap=_CAP
+            )
+            group_outs.append((grp, "xla", fn(inv_j)))
+
+        import jax
+
+        fetched = jax.device_get(
+            [o for _, k, o in group_outs if o is not None]
+        )  # one transfer wave for the whole corpus
+        it = iter(fetched)
+        per_group = [(g, k, next(it) if o is not None else None) for g, k, o in group_outs]
+
+        results = []
+        for b in range(B):
+            plan = [
+                (g, k, None if o is None else tuple(np.asarray(a[b]) for a in o))
+                for g, k, o in per_group
+            ]
+            results.append(
+                self._collect_page((pages[b], inv[b], plan), verbose, False, None)
+            )
+        return results
+
     def _dispatch_page(self, page: np.ndarray):
         """Phase 1: enqueue all device work for one page; nothing is fetched."""
         H, W = page.shape

@@ -162,3 +162,53 @@ def test_focr_cli_mesh_auto(mono_font_path, tmp_path, capsys):
                "--glyph-shards", "2"])
     assert rc == 0
     assert "AB01" in capsys.readouterr().out
+
+
+def test_ncc_sharded_matches_single(mono_font_path):
+    """get_hits_many_sharded over the 8-dev mesh == per-page get_hits, bit for
+    bit, including batch padding for a non-divisible page count."""
+    import numpy as np
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+    from focr_tpu.parallel.mesh import page_mesh
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    pages = [
+        synthesize_page(face, [t], dopts, ropts, "AB01ab", (64, 128))
+        for t in ("AB01ab", "ba10BA", "A0b1aB")
+    ]
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1)
+    mesh = page_mesh(glyph_shards=1)
+    sharded = m.get_hits_many_sharded(pages, mesh)
+    single = [m.get_hits(p) for p in pages]
+    key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
+    assert [key(h) for h in sharded] == [key(h) for h in single]
+
+
+def test_ncc_cli_mesh_auto(mono_font_path, tmp_path, capsys):
+    from PIL import Image
+
+    from focr_tpu.cli.ncc import main
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    paths = []
+    for i, t in enumerate(("AB01ab", "ba10BA")):
+        page = synthesize_page(face, [t], dopts, ropts, "AB01ab", (64, 128))
+        p = tmp_path / f"{i}.png"
+        Image.fromarray(page).save(p)
+        paths.append(str(p))
+    rc = main(["-i", *paths, "-f", mono_font_path, "-t", "11", "-a", "AB01ab",
+               "--x-bits", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["AB01ab", "ba10BA"]
