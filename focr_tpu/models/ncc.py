@@ -190,14 +190,30 @@ class NccMatcher:
     def get_hits_many(
         self, pages: list[np.ndarray], verbose: bool = False
     ) -> list[list[MatchWithLetter]]:
-        """Multi-page pipeline: dispatch EVERY page's device sweeps first
-        (uploads serialize, compute queues asynchronously), then fetch +
-        exact-replay per page — amortizing dispatch latency across the corpus
-        (the reference's rayon fan-out, ncc.rs:839-847, re-expressed as
-        device-queue pipelining)."""
-        dispatched = [self._dispatch_page(p) for p in pages]
-        dispatched = _fetch_plans_many(dispatched)  # ONE transfer wave
-        return [self._collect_page(d, verbose, False, None) for d in dispatched]
+        """Multi-page pipeline: device sweeps dispatch in waves of pages with
+        one wave prefetched ahead of the host replay, so uploads/compute
+        overlap collection and dispatch depth stays bounded (unbounded
+        dispatch has tripped device FailedPrecondition on long corpora).
+        Each wave's results fetch in ONE device_get transfer (the reference's
+        rayon fan-out, ncc.rs:839-847, re-expressed as device-queue
+        pipelining)."""
+        wave = 8
+        out: list[list[MatchWithLetter]] = []
+        pending = None
+        for s in range(0, len(pages), wave):
+            dispatched = [self._dispatch_page(p) for p in pages[s : s + wave]]
+            if pending is not None:
+                out.extend(
+                    self._collect_page(d, verbose, False, None)
+                    for d in _fetch_plans_many(pending)
+                )
+            pending = dispatched
+        if pending is not None:
+            out.extend(
+                self._collect_page(d, verbose, False, None)
+                for d in _fetch_plans_many(pending)
+            )
+        return out
 
     def get_hits_many_sharded(
         self, pages: list[np.ndarray], mesh, verbose: bool = False
