@@ -117,11 +117,6 @@ def make_grid_forward(bank: GridBank, ys: tuple[int, ...], x0: int):
     return fn
 
 
-def _make_group_fn(bank: GridBank, ys: tuple[int, ...], x0: int):
-    """Jitted wrapper over make_grid_forward for the single-chip decoder."""
-    return jax.jit(make_grid_forward(bank, ys, x0))
-
-
 class GridDecoder:
     """Batched focr decoder for one (page shape, grid, font) configuration."""
 

@@ -61,13 +61,15 @@ def _fetch_plans_many(dispatched: list) -> list:
     import jax
 
     all_outs = jax.device_get(
-        [[o for _, _, o in plan if o is not None] for _, _, plan in dispatched]
+        [[o for _, _, o in plan if o is not None] for _, _, plan, _ in dispatched]
     )
     out = []
-    for (page, inv, plan), fetched in zip(dispatched, all_outs):
+    for (page, inv, plan, t0), fetched in zip(dispatched, all_outs):
         it = iter(fetched)
         out.append(
-            (page, inv, [(g, k, next(it) if o is not None else None) for g, k, o in plan])
+            (page, inv,
+             [(g, k, next(it) if o is not None else None) for g, k, o in plan],
+             t0)
         )
     return out
 
@@ -223,14 +225,30 @@ class NccMatcher:
         needle-size group; the host replay is unchanged. Bit-identical to
         get_hits_many. Pages must share one shape (caller buckets)."""
         from focr_tpu.parallel.decode import make_sharded_ncc_fn
-        from focr_tpu.parallel.mesh import pad_batch
 
         if not pages:
             return []
+        t_dispatch = time.perf_counter()
+        if self.device_kernel == "pallas":
+            print(
+                "note: the mesh-sharded ncc path uses the XLA conv kernel "
+                "(Pallas is single-chip); results are identical",
+                file=sys.stderr,
+            )
         H, W = pages[0].shape
         assert all(p.shape == (H, W) for p in pages), "bucket pages by shape first"
         inv = (255 - np.stack(pages).astype(np.int32)).astype(np.uint8)
-        inv_p, B = pad_batch(inv, mesh.size)
+        B = len(pages)
+        pad = (-B) % mesh.size
+        if pad:
+            # pad with zeros = inverted WHITE pages (pad_batch's 255 fill is
+            # for un-inverted pages; 255 here would be solid ink and burn a
+            # full sweep per filler page)
+            inv_p = np.concatenate(
+                [inv, np.zeros((pad, H, W), dtype=np.uint8)], axis=0
+            )
+        else:
+            inv_p = inv
         inv_j = jnp.asarray(inv_p)
 
         group_outs: list[tuple[_Group, str, object]] = []
@@ -258,12 +276,15 @@ class NccMatcher:
                 for g, k, o in per_group
             ]
             results.append(
-                self._collect_page((pages[b], inv[b], plan), verbose, False, None)
+                self._collect_page(
+                    (pages[b], inv[b], plan, t_dispatch), verbose, False, None
+                )
             )
         return results
 
     def _dispatch_page(self, page: np.ndarray):
         """Phase 1: enqueue all device work for one page; nothing is fetched."""
+        t0 = time.perf_counter()
         H, W = page.shape
         inv = (255 - page.astype(np.int32)).astype(np.uint8)
         inv_j = jnp.asarray(inv)
@@ -290,19 +311,25 @@ class NccMatcher:
                 cap=_CAP,
             )
             plan.append((grp, "xla", outs))
-        return page, inv, plan
+        return page, inv, plan, t0
 
     def _collect_page(
         self, dispatched, verbose: bool, raw: bool, out
     ) -> list[MatchWithLetter]:
         """Phase 2: fetch one page's device results, replay exact f64."""
-        page, inv, plan = dispatched
+        page, inv, plan, t_dispatch = dispatched
         H, W = page.shape
         thr_f32 = np.float32(self.threshold)
         thr_f64 = np.float64(thr_f32)
 
+        # verbose timing spans dispatch -> now (device work + transfer are
+        # async, so per-group wall time is unobservable; attribute the page
+        # span to groups by their share of searches)
+        page_elapsed = time.perf_counter() - t_dispatch
+        total_searches = max(sum(len(g.needle_ids) for g in self.groups), 1)
+
         per_needle: dict[int, list[MatchWithLetter]] = {}
-        t00 = time.perf_counter()
+        t00 = t_dispatch  # the reference's "overall" span starts at get_hits
         oracle_searcher = None
         tables = None  # (inv_i64, sum_table, sumsqr_table) for pallas replay
         for grp, kind, outs in plan:
@@ -311,17 +338,16 @@ class NccMatcher:
                 for i in grp.needle_ids:
                     per_needle[i] = []
                 continue
+            elapsed = page_elapsed * len(grp.needle_ids) / total_searches
             if kind == "pallas":
                 if tables is None:
                     tables = self._replay_tables(inv)
                 oracle_searcher = self._pallas_group(
                     grp, outs, tables, thr_f32, thr_f64, per_needle,
-                    page, oracle_searcher, verbose, H, W,
+                    page, oracle_searcher, verbose, H, W, elapsed,
                 )
                 continue
-            t0 = time.perf_counter()
             idx, acc, sp, s2p, counts = (np.asarray(o) for o in outs)
-            elapsed = time.perf_counter() - t0
             W2 = W - grp.nw
             cap_eff = idx.shape[1]
             for ti, i in enumerate(grp.needle_ids):
@@ -401,13 +427,11 @@ class NccMatcher:
 
     def _pallas_group(
         self, grp, outs, tables, thr_f32, thr_f64, per_needle,
-        page, oracle_searcher, verbose, H, W,
+        page, oracle_searcher, verbose, H, W, elapsed,
     ):
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
-        t0 = time.perf_counter()
         widx, wval, counts, nzw = (np.asarray(o) for o in outs)
-        elapsed = time.perf_counter() - t0
         inv64, st, s2t = tables
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
@@ -556,6 +580,7 @@ class NccMatcher:
         Used by tests and the CLI's --rust to cross-check the device path."""
         from focr_tpu.oracle.ncc_oracle import Searcher
 
+        t00 = time.perf_counter()
         searcher = Searcher(page)
         all_hits: list[MatchWithLetter] = []
         for nd in self.needles:
@@ -580,6 +605,10 @@ class NccMatcher:
             if raw and out is not None:
                 self._print_raw(nd, hits, out)
             all_hits.extend(hits)
+        if verbose:
+            print(f"overall {(time.perf_counter() - t00) * 1000.0:.4f}ms", file=sys.stderr)
+            print(f"hits: {len(all_hits)}", file=sys.stderr)
+            _print_char_counts(all_hits)
         return all_hits
 
     def _print_raw(self, nd: Needle, hits: list[MatchWithLetter], out) -> None:

@@ -95,11 +95,16 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
     norm2p = s2p - sp * sp * jnp.float32(1.0 / n)
     num = acc - sn_n[:, None] * sp
     den = rt_n2n[:, None] * jnp.sqrt(jnp.maximum(norm2p, 0.0))
+    # f32 slack: sp/s2p/acc are exact integers (pallas_supported gates
+    # K*255^2 < 2^24), but sp*sp/n and sn_n*sp round — widen both tests so a
+    # true match can never be dropped; extra candidates die in the exact f64
+    # host replay (norm2p_exact <= 0 => sim = inf/NaN there, filtered like
+    # the reference ncc.rs:457-473)
     keep = (
         (sp > 0)
-        & (norm2p > 0)
+        & (norm2p > jnp.float32(-8.0))
         & (n2n[:, None] > 0)
-        & (num > thr_eps * den)
+        & (num > thr_eps * den - jnp.float32(16.0))
         & col_ok
         & (y < Hs)  # rows >= Hs are padding: their bytes stay 0
     )
@@ -179,7 +184,12 @@ def ncc_candidates_pallas(
     ndm = needles.reshape(T, n).astype(jnp.float32)
     nf = jnp.float32(n)
     sn_n = (s_n.astype(jnp.float32) / nf).reshape(T, 1)
-    n2n = (s2_n.astype(jnp.float32) - s_n.astype(jnp.float32) ** 2 / nf).reshape(T, 1)
+    # needle norm² with the EXACT sign: n·Σn² − (Σn)² in i64, then /n in f32.
+    # A pure-f32 computation can flip a tiny positive variance (near-uniform
+    # needle) to <= 0 and silently drop all its matches; the i64 integer is
+    # exact and the f32 conversion preserves positivity.
+    n2n_int = jnp.int64(n) * s2_n.astype(jnp.int64) - s_n.astype(jnp.int64) ** 2
+    n2n = (n2n_int.astype(jnp.float32) / nf).reshape(T, 1)
     thr_arr = (threshold.astype(jnp.float32) - jnp.float32(eps)).reshape(1, 1)
 
     WW = W1 // 32
@@ -279,15 +289,27 @@ def words_per_needle(H: int, W: int, nw: int, nh: int) -> int:
 def pallas_supported(
     H: int, W: int, nw: int, nh: int, threshold: float, eps: float = 1e-3
 ) -> bool:
-    """Whether the Pallas path handles this configuration (VMEM budget, block
-    size, positive algebraic threshold); callers use the XLA path otherwise."""
+    """Whether the Pallas path handles this configuration (exact-integer
+    bounds, VMEM budget, positive algebraic threshold); callers use the XLA
+    path otherwise."""
     Hs = H - nh + 1
     W1 = word_stride(W, nw) * 32
     if Hs < 8 or W - nw + 1 < 2 or nw > 16:
         return False
     if np.float32(threshold) - np.float32(eps) <= 0:
         return False  # num > c*den needs c > 0 to be equivalent to sim > c
+    if nh * nw * 65025 >= 2**24:
+        return False  # acc/sp/s2p must be exact in f32 (no in-kernel nibble split)
     if H * nw * 65025 >= 2**31:
         return False  # window_stats would need i64 (f32 stats lose exactness)
-    vmem = 4 * (Hs8_ := ((Hs + 7) // 8) * 8 + nh - 1) * (W1 + nw) + 2 * 4 * Hs8_ * W1
+    Hs8 = ((Hs + 7) // 8) * 8
+    K = nh * nw
+    vmem = (
+        4 * (Hs8 + nh - 1) * (W1 + nw)  # image (f32)
+        + 2 * 4 * Hs8 * W1  # sp + s2p planes
+        + 4 * W1 * (W1 // 8)  # gmat bit-packing matrix (quadratic in W!)
+        + 2 * K * W1  # bf16 im2col scratch
+        + 4 * _TTILE * K  # needle tile
+        + _TTILE * (W1 // 8)  # bytes out block (+ counts, negligible)
+    )
     return vmem < 10 * 2**20

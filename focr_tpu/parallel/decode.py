@@ -43,8 +43,10 @@ def _pad_glyph_axis(arr: np.ndarray, g_mult: int) -> np.ndarray:
 def make_sharded_grid_fn(bank: GridBank, ys: tuple[int, ...], x0: int, mesh: Mesh):
     """[B, H, W] u8 pages -> (ids [B, R, C] i32, white [B, R] bool), SPMD.
 
-    The single-chip equivalent is models/focr.py::_make_group_fn; this version
-    shards pages over PAGES_AXIS and the glyph bank over GLYPHS_AXIS.
+    The single-chip equivalent is models/focr.py::make_strip_forward (which
+    crops strips on the host); this version takes whole pages, extracts
+    strips on-device, and shards pages over PAGES_AXIS and the glyph bank
+    over GLYPHS_AXIS.
     B must be a multiple of the pages-axis size (use mesh.pad_batch).
     """
     n_g = mesh.shape[GLYPHS_AXIS]

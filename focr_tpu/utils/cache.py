@@ -65,7 +65,15 @@ def load_arrays(key: str) -> dict[str, np.ndarray] | None:
     try:
         with np.load(path, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}
-    except (OSError, ValueError, KeyError):
+    except FileNotFoundError:
+        return None
+    except Exception:  # noqa: BLE001 - corrupt/truncated cache entry (e.g.
+        # zipfile.BadZipFile after a crash mid-write): treat as a miss and
+        # remove it so the rebuild can overwrite — never fail the run
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
         return None
 
 
