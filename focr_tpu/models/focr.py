@@ -146,7 +146,9 @@ class GridDecoder:
         self._ascii = bool(alphabet) and max(map(ord, alphabet)) < 128
         self.groups: list[tuple[_RowGroup, object]] = []
         self.prop_groups: list[tuple[_RowGroup, object]] = []
+        self._combined_fn = None
         if self.crop_w > 0 and self.monospace:
+            fwds = []
             for grp in _row_groups(dopts, H):
                 bank = build_grid_bank(face, alphabet, ropts, self.crop_w, grp.crop_h)
                 if self.mesh is not None:
@@ -154,9 +156,17 @@ class GridDecoder:
 
                     fn = make_sharded_grid_fn(bank, grp.ys, self.x0, self.mesh)
                 else:
-                    fn = jax.jit(make_strip_forward(bank))
+                    fn = make_strip_forward(bank)
+                    fwds.append(fn)
                 self.groups.append((grp, fn))
                 self._bank0 = bank
+            if self.mesh is None and fwds:
+                # ONE jitted call for every row group: a single dispatch
+                # round trip per batch (per-call latency dominates off-chip)
+                def combined(strip_list, _fwds=tuple(fwds)):
+                    return [f(s) for f, s in zip(_fwds, strip_list)]
+
+                self._combined_fn = jax.jit(combined)
         elif self.crop_w > 0 and alphabet:
             from focr_tpu.fonts.bank import build_prop_bank
             from focr_tpu.models.focr_prop import PropDecoder
@@ -223,14 +233,13 @@ class GridDecoder:
             pages, _ = pad_batch(pages, self.mesh.size)
             pages_j = jax.device_put(jnp.asarray(pages), pages_sharding(self.mesh))
             return (n, [fn(pages_j) for _, fn in self.groups])
-        # single chip: crop scan strips on host, upload only those bytes
-        return (
-            n,
-            [
-                fn(jnp.asarray(crop_strips(pages, grp.ys, grp.crop_h, self.x0, self.crop_w)))
-                for grp, fn in self.groups
-            ],
-        )
+        # single chip: crop scan strips on host, upload only those bytes,
+        # run every row group in one device call
+        strips = [
+            jnp.asarray(crop_strips(pages, grp.ys, grp.crop_h, self.x0, self.crop_w))
+            for grp, _ in self.groups
+        ]
+        return (n, self._combined_fn(strips))
 
     def _finish(self, outs) -> list[list[DecodedLine]]:
         """Force one batch's device results and assemble text lines."""
