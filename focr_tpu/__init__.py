@@ -23,7 +23,11 @@ _jax.config.update("jax_enable_x64", True)
 # Persistent XLA compilation cache: first-compile latency through the remote
 # TPU backend is high and highly variable (seconds to minutes); caching makes
 # every CLI invocation after the first start instantly. Opt out with
-# FOCR_TPU_NO_COMPILE_CACHE=1.
+# FOCR_TPU_NO_COMPILE_CACHE=1. Never enabled for forced-CPU runs: CPU AOT
+# artifacts bake in the compiling host's -march features, and loading them on
+# a different machine risks SIGILL (tests/dryrun set JAX_PLATFORMS=cpu).
+if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+    _os.environ.setdefault("FOCR_TPU_NO_COMPILE_CACHE", "1")
 if not _os.environ.get("FOCR_TPU_NO_COMPILE_CACHE"):
     _cache = _os.environ.get(
         "FOCR_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/focr_tpu_xla")

@@ -42,7 +42,6 @@ from ctypes import (
     c_void_p,
 )
 from dataclasses import dataclass
-from functools import lru_cache
 
 import numpy as np
 
@@ -328,8 +327,12 @@ class Canvas:
 
 
 def _to_f26dot6(v: float) -> int:
-    # font-kit's f32 -> 26.6 conversion rounds to nearest (FT convention).
-    return int(round(float(v) * 64.0))
+    # font-kit converts f32 -> 26.6 with Rust's f32::round, which rounds
+    # ties AWAY FROM ZERO — python round() is banker's (half-to-even) and
+    # diverges at exact half-ulp translations (e.g. 125.2265625*64 = 8014.5:
+    # Rust 8015, banker's 8014), shifting the rasterized bitmap 1/64 px.
+    x = float(v) * 64.0
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
 @dataclass(frozen=True)
@@ -357,6 +360,10 @@ class Face:
         self.path = path
         self._current_size: float | None = None
         self._glyph_cache: dict[str, int] = {}
+        # per-instance metric caches (a module-level lru_cache would key on
+        # self and pin every Face + its native FT handle for process life)
+        self._advance_cache: dict[int, float] = {}
+        self._typo_cache: dict[int, RectF] = {}
 
     def __del__(self):  # pragma: no cover - interpreter shutdown ordering
         try:
@@ -393,22 +400,28 @@ class Face:
             raise OSError(f"FT_Load_Glyph({glyph_id}) failed: error {err}")
         return self._face.contents.glyph.contents
 
-    @lru_cache(maxsize=4096)
     def advance(self, glyph_id: int) -> float:
         """Horizontal advance in font units (font-kit Font::advance().x)."""
-        slot = self._load_unscaled(glyph_id)
-        return float(slot.metrics.horiAdvance)
+        v = self._advance_cache.get(glyph_id)
+        if v is None:
+            slot = self._load_unscaled(glyph_id)
+            v = float(slot.metrics.horiAdvance)
+            self._advance_cache[glyph_id] = v
+        return v
 
-    @lru_cache(maxsize=4096)
     def typographic_bounds(self, glyph_id: int) -> RectF:
         """Glyph metrics rect in font units, y-up (font-kit typographic_bounds)."""
-        m = self._load_unscaled(glyph_id).metrics
-        return RectF(
-            float(m.horiBearingX),
-            float(m.horiBearingY - m.height),
-            float(m.horiBearingX + m.width),
-            float(m.horiBearingY),
-        )
+        r = self._typo_cache.get(glyph_id)
+        if r is None:
+            m = self._load_unscaled(glyph_id).metrics
+            r = RectF(
+                float(m.horiBearingX),
+                float(m.horiBearingY - m.height),
+                float(m.horiBearingX + m.width),
+                float(m.horiBearingY),
+            )
+            self._typo_cache[glyph_id] = r
+        return r
 
     def raster_bounds(
         self,

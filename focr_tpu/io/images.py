@@ -98,13 +98,3 @@ def bucket_pages(pages: list[np.ndarray]) -> list[Bucket]:
         arr = np.stack([pages[i] for i in idxs], axis=0)
         buckets.append(Bucket(shape=shape, indices=idxs, pages=arr))
     return buckets
-
-
-def pad_batch(pages: np.ndarray, batch: int) -> np.ndarray:
-    """Pad [B, H, W] to a multiple of ``batch`` with white pages."""
-    b = pages.shape[0]
-    rem = (-b) % batch
-    if rem == 0:
-        return pages
-    pad = np.full((rem, *pages.shape[1:]), 255, dtype=pages.dtype)
-    return np.concatenate([pages, pad], axis=0)

@@ -21,7 +21,6 @@ fallback for degenerate metrics (non-positive advances).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -282,11 +281,6 @@ class GridDecoder:
         return out
 
 
-@functools.lru_cache(maxsize=32)
-def _decoder_cache_key(*args):  # pragma: no cover - trivial
-    return args
-
-
 def decode_pages(
     pages: list[np.ndarray],
     face: Face,
@@ -320,6 +314,8 @@ def decode_stream(dec: GridDecoder, arr: np.ndarray, batch_size: int):
     §7 "Host↔device pipeline")."""
     import concurrent.futures as cf
 
+    if arr.shape[0] == 0:
+        return
     if not dec.groups or not dec.monospace or dec.crop_w == 0:
         for s in range(0, arr.shape[0], batch_size):
             yield s, dec.decode_batch(arr[s : s + batch_size])

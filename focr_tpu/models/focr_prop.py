@@ -69,7 +69,9 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
 
         def step(pos, _):
             s = ox + pos  # [L] f32 — same op order as the oracle
-            t64 = jnp.round(s * jnp.float32(64.0)).astype(jnp.int32)
+            # ties away from zero, matching _to_f26dot6 (s >= 0 here, so
+            # floor(x + 0.5); s*64 < 2^23 keeps both ops exact in f32)
+            t64 = jnp.floor(s * jnp.float32(64.0) + jnp.float32(0.5)).astype(jnp.int32)
             k = t64 >> 5 >> 1  # floor(t64/64); t64 >= 0 since ox, pos >= 0
             p = t64 & jnp.int32(63)
             start = k  # window col in padded strip = (k - base) + base

@@ -353,6 +353,12 @@ class NccMatcher:
             for ti, i in enumerate(grp.needle_ids):
                 nd = self.needles[i]
                 if counts[ti] > cap_eff:
+                    if grp.nw > 16:
+                        # host kernels cap at 16-px needles (the reference
+                        # panics there, ncc.rs:392); re-run this needle's
+                        # sweep on DEVICE with a cap sized to its count
+                        per_needle[i] = self._redo_wide(grp, ti, nd, inv, int(counts[ti]))
+                        continue
                     # candidate overflow (pathological): exact host fallback
                     # (native C++ kernel when the toolchain is available,
                     # NumPy oracle otherwise — both bit-identical)
@@ -412,6 +418,47 @@ class NccMatcher:
             print(f"hits: {len(all_hits)}", file=sys.stderr)
             _print_char_counts(all_hits)
         return all_hits
+
+    def _redo_wide(self, grp, ti, nd, inv, count) -> list[MatchWithLetter]:
+        """Re-dispatch ONE needle's sweep with a count-sized cap (exact device
+        path; used when candidates overflowed and no host kernel supports the
+        needle width). Rounding the cap to a power of two bounds recompiles."""
+        cap = 1 << max(int(np.ceil(np.log2(count + 1))), 11)
+        thr_f64 = np.float64(np.float32(self.threshold))
+        idx, acc, sp, s2p, counts = (
+            np.asarray(o)
+            for o in ncc_ops.ncc_candidates(
+                jnp.asarray(inv),
+                jnp.asarray(nd.pixels[None]),
+                jnp.asarray(grp.s_n[ti : ti + 1]),
+                jnp.asarray(grp.s2_n[ti : ti + 1]),
+                jnp.asarray(np.float32(self.threshold)),
+                nw=grp.nw,
+                nh=grp.nh,
+                cap=cap,
+            )
+        )
+        assert counts[0] <= cap  # count was measured by the first pass
+        n = grp.nh * grp.nw
+        cand = slice(0, int(counts[0]))
+        sim = exact_similarities(
+            acc[0, cand], sp[0, cand], s2p[0, cand],
+            int(grp.s_n[ti]), int(grp.s2_n[ti]), n,
+        )
+        keep = (sim != np.inf) & (sim > thr_f64)
+        W2 = inv.shape[1] - grp.nw
+        lins = idx[0, cand][keep]
+        sims = sim[keep]
+        hits = [
+            MatchWithLetter(
+                nd.letter, 1 + int(lin) % W2, 1 + int(lin) // W2,
+                grp.nw, grp.nh, float(np.float32(s)),
+            )
+            for lin, s in zip(lins[:MAX_MATCHES], sims[:MAX_MATCHES])
+        ]
+        if len(lins) >= MAX_MATCHES:
+            print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
+        return hits
 
     @staticmethod
     def _replay_tables(inv: np.ndarray):

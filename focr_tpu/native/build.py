@@ -36,9 +36,12 @@ def _so_path() -> str:
 
 
 def _compile(so: str) -> None:
+    # unique temp per process: concurrent first-use compiles (pytest-xdist,
+    # parallel CLIs) must not interleave writes before the atomic rename
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fopenmp", _SRC, "-o", so + ".tmp",
+        "-fopenmp", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -46,7 +49,7 @@ def _compile(so: str) -> None:
         # retry without OpenMP (still correct, just single-threaded batches)
         cmd = [c for c in cmd if c != "-fopenmp"]
         subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(so + ".tmp", so)
+    os.replace(tmp, so)
 
 
 def load() -> ctypes.CDLL:

@@ -143,14 +143,24 @@ def ncc_candidates(
     norm2p_f = s2p.astype(jnp.float32) - (sp_f * sp_f) / nf
     norm2p_exact = s2p.astype(jnp.int64) * n - sp.astype(jnp.int64) ** 2
     s_n_f = s_n.astype(jnp.float32)[:, None, None]
-    norm2n_f = s2_n.astype(jnp.float32) - (
-        s_n.astype(jnp.float32) ** 2
-    ) / nf  # [T]
+    # exact i64 sign for the needle variance (f32 can flip a tiny positive
+    # variance of a near-uniform needle to <= 0 and drop all its matches)
+    norm2n_int = jnp.int64(n) * s2_n.astype(jnp.int64) - s_n.astype(jnp.int64) ** 2
+    norm2n_f = norm2n_int.astype(jnp.float32) / nf  # [T], >= 0 where valid
     num_f = acc.astype(jnp.float32) - s_n_f * sp_f[None] * (jnp.float32(1.0) / nf)
-    den_f = jnp.sqrt(norm2n_f)[:, None, None] * jnp.sqrt(norm2p_f)[None]
-    sim_f = num_f / den_f
-    valid = (sp[None] > 0) & (norm2p_exact[None] > 0) & (norm2n_f[:, None, None] > 0)
-    mask = valid & (sim_f > threshold.astype(jnp.float32) - jnp.float32(eps))
+    den_f = (
+        jnp.sqrt(jnp.maximum(norm2n_f, 0.0))[:, None, None]
+        * jnp.sqrt(jnp.maximum(norm2p_f, 0.0))[None]
+    )
+    valid = (sp[None] > 0) & (norm2p_exact[None] > 0) & (norm2n_int[:, None, None] > 0)
+    # division-free ε-superset test with an ABSOLUTE f32-error slack: the
+    # magnitudes entering num/den are bounded by n·255², so rounding error is
+    # bounded by ~2⁻²⁴·c·n·65025; a fixed relative eps alone provably drops
+    # true matches near high-mean/low-variance windows (sim error can exceed
+    # 1e-3 there). Extra candidates are killed by the exact f64 host replay.
+    slack = jnp.float32(32.0 * 2.0**-24 * n * 65025 + 16.0)
+    thr_m = threshold.astype(jnp.float32) - jnp.float32(eps)
+    mask = valid & (num_f > thr_m * den_f - slack)
 
     lin = jnp.arange(H2 * W2, dtype=jnp.int32).reshape(H2, W2)
     big = jnp.int32(2**31 - 1)

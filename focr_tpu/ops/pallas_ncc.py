@@ -104,7 +104,7 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
         (sp > 0)
         & (norm2p > jnp.float32(-8.0))
         & (n2n[:, None] > 0)
-        & (num > thr_eps * den - jnp.float32(16.0))
+        & (num > thr_eps * den - jnp.float32(48.0))
         & col_ok
         & (y < Hs)  # rows >= Hs are padding: their bytes stay 0
     )

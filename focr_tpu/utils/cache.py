@@ -47,10 +47,13 @@ def cache_dir() -> str | None:
     return d
 
 
+_SEMVER = 2  # bump when rasterization semantics change (v2: f26.6 ties-away)
+
+
 def bank_key(kind: str, font_path: str, **params) -> str:
     """Stable cache key: kind + font content hash + canonical param JSON."""
     payload = json.dumps(
-        {"kind": kind, "font": _font_hash(font_path), **params},
+        {"kind": kind, "v": _SEMVER, "font": _font_hash(font_path), **params},
         sort_keys=True,
         separators=(",", ":"),
     )

@@ -95,3 +95,72 @@ def test_full_hinting_prop_matches_oracle(sans_font_path):
     got = dec.decode_batch(page[None])[0]
     want = decode_image(page, face, alpha, dopts, ropts)
     assert [(l.text, l.y) for l in got] == [(l.text, l.y) for l in want]
+
+
+def test_f26dot6_ties_away_from_zero():
+    """Rust f32::round (font-kit's f32->26.6 conversion) rounds ties AWAY
+    from zero; banker's rounding diverges at half-ulp translations and shifts
+    rasterization by 1/64 px (e.g. cursor cell 16 of the canonical grid)."""
+    from focr_tpu.fonts.ft import _to_f26dot6
+
+    assert _to_f26dot6(125.2265625) == 8015  # 8014.5 -> away from zero
+    assert _to_f26dot6(0.0078125) == 1  # 0.5 -> 1 (banker's would give 0)
+    assert _to_f26dot6(-0.0078125) == -1
+    assert _to_f26dot6(0.015625) == 1
+    assert _to_f26dot6(3.14) == round(3.14 * 64)  # non-ties unchanged
+
+
+def test_prop_decoder_tie_rounding_matches_oracle(mono_font_path):
+    """Device cursor quantization must round ties away from zero too — the
+    monospace DejaVu advance lands exactly on .5/64 boundaries at some cells
+    (that is how the divergence was found)."""
+    import numpy as np
+
+    from focr_tpu.fonts.bank import build_prop_bank
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.models.focr_prop import PropDecoder
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.oracle.focr_oracle import decode_image
+
+    # force the sequential path on a MONOSPACE font (advance 7.82617 px at
+    # size 13): cell 16 hits tx*64 = .5 exactly
+    face = Face(mono_font_path)
+    alpha = "AB01ab+/"
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(x_start=45, y_start=6, line_height=12, line_advance=15, width=200)
+    page = synthesize_page(face, ["ABab01+/AB0a1b+/ABAB"], dopts, ropts, alpha, (40, 260))
+    bank = build_prop_bank(face, alpha, ropts, 12)
+    dec = PropDecoder(bank, 200)
+    inv = (255 - page[6:18, 45:245].astype(np.int32)).astype(np.uint8)
+    got = dec.decode_lines(inv[None])[0]
+    want = decode_image(page, face, alpha, dopts, ropts)[0].text
+    assert got == want
+
+
+def test_wide_needle_overflow_redoes_on_device(mono_font_path, monkeypatch):
+    """Needles wider than 16 px overflow-fallback to a device re-dispatch
+    (host kernels reject them, like the reference's panic) and stay exact."""
+    import numpy as np
+
+    import focr_tpu.models.ncc as ncc_mod
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+
+    monkeypatch.setattr(ncc_mod, "_CAP", 4)  # force overflow on the XLA path
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(x_start=4, y_start=5, line_height=18, line_advance=20, width=140)
+    page = synthesize_page(face, ["ABAB", "BABA"], dopts, ropts, "AB", (50, 150))
+    m = NccMatcher(face, "AB", ropts, box_size=BoxSize.FONT, threshold=0.3,
+                   device_kernel="xla")
+    assert all(g.nw > 16 for g in m.groups), "FONT box at 13pt should be wide"
+    hits = m.get_hits(page)
+    assert len(hits) > 4  # more than the forced cap => the redo path ran
+    # device path with a huge cap is the ground truth for wide needles
+    monkeypatch.setattr(ncc_mod, "_CAP", 1 << 14)
+    m2 = NccMatcher(face, "AB", ropts, box_size=BoxSize.FONT, threshold=0.3,
+                    device_kernel="xla")
+    want = m2.get_hits(page)
+    key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
+    assert key(hits) == key(want)
