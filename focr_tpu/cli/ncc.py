@@ -146,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
         if jax.device_count() > 1:
             mesh = page_mesh(glyph_shards=1)
 
+    # the array-form (struct) pipeline skips per-hit object creation; verbose
+    # diagnostics need the object form (per-hit dumps)
+    struct = engine == "device" and not args.verbose
+
     with metrics_run(args.profile) as mrun:
         if engine == "device" and mesh is not None and len(loaded) > 1:
             # multi-chip: shard same-shape page buckets over the mesh
@@ -155,22 +159,31 @@ def main(argv: list[str] | None = None) -> int:
                 buckets.setdefault(p.shape, []).append(j)
             for idxs in buckets.values():
                 outs = matcher.get_hits_many_sharded(
-                    [loaded[j][1] for j in idxs], mesh, verbose=args.verbose
+                    [loaded[j][1] for j in idxs], mesh, verbose=args.verbose,
+                    struct=struct,
                 )
                 for j, h in zip(idxs, outs):
                     hit_lists[j] = h
-        elif engine == "device" and len(loaded) > 1:
-            # multi-page pipeline: all device sweeps enqueue before any
-            # host replay (amortizes dispatch latency across the corpus)
+        elif engine == "device":
+            # page pipeline: all device sweeps enqueue before any host
+            # replay (amortizes dispatch latency across the corpus)
             hit_lists = matcher.get_hits_many(
-                [p for _, p in loaded], verbose=args.verbose
+                [p for _, p in loaded], verbose=args.verbose, struct=struct
             )
         else:
             hit_lists = [get(p, verbose=args.verbose) for _, p in loaded]
-        lines_by_page = {
-            i: process_hits(h, args.anchor_threshold, args.overlap, verbose=args.verbose)
-            for (i, _), h in zip(loaded, hit_lists)
-        }
+        if struct:
+            from focr_tpu.models.post import process_hits_struct
+
+            lines_by_page = {
+                i: process_hits_struct(h, args.anchor_threshold, args.overlap)
+                for (i, _), h in zip(loaded, hit_lists)
+            }
+        else:
+            lines_by_page = {
+                i: process_hits(h, args.anchor_threshold, args.overlap, verbose=args.verbose)
+                for (i, _), h in zip(loaded, hit_lists)
+            }
     pages_out = [(i, lines_by_page.get(i, [])) for i in range(len(args.img))]
 
     if args.csv:

@@ -51,6 +51,47 @@ def ncc_ops_pallas_call(inv_j, grp, thr_f32, capw: int):
 _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA path
 _CAPW = 32768  # GLOBAL nonzero-word capacity for the Pallas path (256KB fetch)
 
+_EMPTY = (
+    np.zeros(0, np.int64),
+    np.zeros(0, np.int64),
+    np.zeros(0, np.float32),
+)
+
+
+def _matches_to_arrays(ms) -> tuple:
+    """Host-searcher Match objects -> (xs, ys, sims) arrays."""
+    if not ms:
+        return _EMPTY
+    return (
+        np.array([m.x for m in ms], dtype=np.int64),
+        np.array([m.y for m in ms], dtype=np.int64),
+        np.array([m.similarity for m in ms], dtype=np.float32),
+    )
+
+
+@dataclass(frozen=True)
+class HitStruct:
+    """Array-of-hits form of get_hits output (reference iteration order) —
+    the allocation-free fast path for post-processing big corpora."""
+
+    needle_id: np.ndarray  # i32 [N] index into matcher.needles
+    x: np.ndarray  # i64 [N]
+    y: np.ndarray  # i64 [N]
+    sim: np.ndarray  # f32 [N]
+    matcher: "NccMatcher"
+
+    def __len__(self) -> int:  # pragma: no cover - trivial
+        return len(self.x)
+
+    def to_objects(self) -> list[MatchWithLetter]:
+        needles = self.matcher.needles
+        out = []
+        for nid, x, y, s in zip(self.needle_id, self.x, self.y, self.sim):
+            nd = needles[nid]
+            nh, nw = nd.pixels.shape
+            out.append(MatchWithLetter(nd.letter, int(x), int(y), nw, nh, float(s)))
+        return out
+
 
 def _fetch_plans_many(dispatched: list) -> list:
     """Fetch every page's device outputs in ONE jax.device_get wave.
@@ -190,8 +231,8 @@ class NccMatcher:
         )
 
     def get_hits_many(
-        self, pages: list[np.ndarray], verbose: bool = False
-    ) -> list[list[MatchWithLetter]]:
+        self, pages: list[np.ndarray], verbose: bool = False, struct: bool = False
+    ):
         """Multi-page pipeline: device sweeps dispatch in waves of pages with
         one wave prefetched ahead of the host replay, so uploads/compute
         overlap collection and dispatch depth stays bounded (unbounded
@@ -200,26 +241,27 @@ class NccMatcher:
         rayon fan-out, ncc.rs:839-847, re-expressed as device-queue
         pipelining)."""
         wave = 8
-        out: list[list[MatchWithLetter]] = []
+        out: list = []
         pending = None
         for s in range(0, len(pages), wave):
             dispatched = [self._dispatch_page(p) for p in pages[s : s + wave]]
             if pending is not None:
                 out.extend(
-                    self._collect_page(d, verbose, False, None)
+                    self._collect_page(d, verbose, False, None, struct)
                     for d in _fetch_plans_many(pending)
                 )
             pending = dispatched
         if pending is not None:
             out.extend(
-                self._collect_page(d, verbose, False, None)
+                self._collect_page(d, verbose, False, None, struct)
                 for d in _fetch_plans_many(pending)
             )
         return out
 
     def get_hits_many_sharded(
-        self, pages: list[np.ndarray], mesh, verbose: bool = False
-    ) -> list[list[MatchWithLetter]]:
+        self, pages: list[np.ndarray], mesh, verbose: bool = False,
+        struct: bool = False,
+    ):
         """Multi-chip corpus search: pages batch over the mesh's devices
         (data-parallel, SURVEY.md §2.5/§5.8), one sharded sweep per
         needle-size group; the host replay is unchanged. Bit-identical to
@@ -277,7 +319,7 @@ class NccMatcher:
             ]
             results.append(
                 self._collect_page(
-                    (pages[b], inv[b], plan, t_dispatch), verbose, False, None
+                    (pages[b], inv[b], plan, t_dispatch), verbose, False, None, struct
                 )
             )
         return results
@@ -314,8 +356,8 @@ class NccMatcher:
         return page, inv, plan, t0
 
     def _collect_page(
-        self, dispatched, verbose: bool, raw: bool, out
-    ) -> list[MatchWithLetter]:
+        self, dispatched, verbose: bool, raw: bool, out, struct: bool = False
+    ):
         """Phase 2: fetch one page's device results, replay exact f64."""
         page, inv, plan, t_dispatch = dispatched
         H, W = page.shape
@@ -328,7 +370,10 @@ class NccMatcher:
         page_elapsed = time.perf_counter() - t_dispatch
         total_searches = max(sum(len(g.needle_ids) for g in self.groups), 1)
 
-        per_needle: dict[int, list[MatchWithLetter]] = {}
+        # per needle: (xs i64[], ys i64[], sims f32[]) — arrays, not objects;
+        # MatchWithLetter objects are built only at the API boundary (a dense
+        # page has ~26k hits: building objects per hit dominates host time)
+        per_needle: dict[int, tuple] = {}
         t00 = t_dispatch  # the reference's "overall" span starts at get_hits
         oracle_searcher = None
         tables = None  # (inv_i64, sum_table, sumsqr_table) for pallas replay
@@ -336,7 +381,7 @@ class NccMatcher:
             n = grp.nh * grp.nw
             if kind == "empty":
                 for i in grp.needle_ids:
-                    per_needle[i] = []
+                    per_needle[i] = _EMPTY
                 continue
             elapsed = page_elapsed * len(grp.needle_ids) / total_searches
             if kind == "pallas":
@@ -365,10 +410,7 @@ class NccMatcher:
                     if oracle_searcher is None:
                         oracle_searcher = _host_searcher(page)
                     ms = oracle_searcher.search(nd.pixels, self.threshold)
-                    per_needle[i] = [
-                        MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
-                        for m in ms
-                    ]
+                    per_needle[i] = _matches_to_arrays(ms)
                     continue
                 k = int(counts[ti])
                 cand = slice(0, min(k, cap_eff))
@@ -377,20 +419,16 @@ class NccMatcher:
                     int(grp.s_n[ti]), int(grp.s2_n[ti]), n,
                 )
                 keep = (sim != np.inf) & (sim > thr_f64)
-                lins = idx[ti, cand][keep]
+                lins = idx[ti, cand][keep].astype(np.int64)
                 sims = sim[keep]
-                hits: list[MatchWithLetter] = []
-                for lin, s in zip(lins[:MAX_MATCHES], sims[:MAX_MATCHES]):
-                    y = 1 + int(lin) // W2
-                    x = 1 + int(lin) % W2
-                    hits.append(
-                        MatchWithLetter(
-                            nd.letter, x, y, grp.nw, grp.nh, float(np.float32(s))
-                        )
-                    )
                 if len(lins) >= MAX_MATCHES:
                     print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
-                per_needle[i] = hits
+                lins_t = lins[:MAX_MATCHES]
+                per_needle[i] = (
+                    1 + lins_t % W2,
+                    1 + lins_t // W2,
+                    sims[:MAX_MATCHES].astype(np.float32),
+                )
             if verbose:
                 per_search_ms = elapsed * 1000.0 / max(len(grp.needle_ids), 1)
                 ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
@@ -401,23 +439,61 @@ class NccMatcher:
                 )
 
         # assemble in reference iteration order (offsets outer, letters inner)
-        all_hits: list[MatchWithLetter] = []
+        parts: list[tuple[int, tuple]] = []
+        n_hits = 0
         for i, nd in enumerate(self.needles):
-            hits = per_needle.get(i, [])
+            arrs = per_needle.get(i, _EMPTY)
             if verbose:
                 print(
                     f"`{nd.letter}` [{_f32_debug(nd.offset[0])}, {_f32_debug(nd.offset[1])}] "
-                    f"needle size {nd.pixels.shape[1]}x{nd.pixels.shape[0]} hits {len(hits)}",
+                    f"needle size {nd.pixels.shape[1]}x{nd.pixels.shape[0]} hits {len(arrs[0])}",
                     file=sys.stderr,
                 )
             if raw and out is not None:
-                self._print_raw(nd, hits, out)
-            all_hits.extend(hits)
+                self._print_raw(nd, self._needle_objects(i, arrs), out)
+            parts.append((i, arrs))
+            n_hits += len(arrs[0])
         if verbose:
             print(f"overall {(time.perf_counter() - t00) * 1000.0:.4f}ms", file=sys.stderr)
-            print(f"hits: {len(all_hits)}", file=sys.stderr)
-            _print_char_counts(all_hits)
+            print(f"hits: {n_hits}", file=sys.stderr)
+            counts_by_letter: dict[str, int] = {}
+            for i, arrs in parts:
+                if len(arrs[0]):
+                    letter = self.needles[i].letter
+                    counts_by_letter[letter] = counts_by_letter.get(letter, 0) + len(arrs[0])
+            for letter, count in sorted(counts_by_letter.items(), key=lambda kv: (kv[1], kv[0])):
+                print(f"`{letter}` {count}", file=sys.stderr)
+        if struct:
+            return self._make_struct(parts)
+        all_hits: list[MatchWithLetter] = []
+        for i, arrs in parts:
+            all_hits.extend(self._needle_objects(i, arrs))
         return all_hits
+
+    def _needle_objects(self, i: int, arrs: tuple) -> list[MatchWithLetter]:
+        nd = self.needles[i]
+        nh, nw = nd.pixels.shape
+        return [
+            MatchWithLetter(nd.letter, int(x), int(y), nw, nh, float(s))
+            for x, y, s in zip(*arrs)
+        ]
+
+    def _make_struct(self, parts: list[tuple[int, tuple]]) -> "HitStruct":
+        sizes = [len(arrs[0]) for _, arrs in parts]
+        total = sum(sizes)
+        nid = np.repeat(
+            np.array([i for i, _ in parts], dtype=np.int32),
+            np.array(sizes, dtype=np.int64),
+        )
+        if total:
+            xs = np.concatenate([arrs[0] for _, arrs in parts]).astype(np.int64)
+            ys = np.concatenate([arrs[1] for _, arrs in parts]).astype(np.int64)
+            sims = np.concatenate([arrs[2] for _, arrs in parts]).astype(np.float32)
+        else:
+            xs = np.zeros(0, np.int64)
+            ys = np.zeros(0, np.int64)
+            sims = np.zeros(0, np.float32)
+        return HitStruct(needle_id=nid, x=xs, y=ys, sim=sims, matcher=self)
 
     def _redo_wide(self, grp, ti, nd, inv, count) -> list[MatchWithLetter]:
         """Re-dispatch ONE needle's sweep with a count-sized cap (exact device
@@ -447,18 +523,16 @@ class NccMatcher:
         )
         keep = (sim != np.inf) & (sim > thr_f64)
         W2 = inv.shape[1] - grp.nw
-        lins = idx[0, cand][keep]
+        lins = idx[0, cand][keep].astype(np.int64)
         sims = sim[keep]
-        hits = [
-            MatchWithLetter(
-                nd.letter, 1 + int(lin) % W2, 1 + int(lin) // W2,
-                grp.nw, grp.nh, float(np.float32(s)),
-            )
-            for lin, s in zip(lins[:MAX_MATCHES], sims[:MAX_MATCHES])
-        ]
         if len(lins) >= MAX_MATCHES:
             print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
-        return hits
+        lins_t = lins[:MAX_MATCHES]
+        return (
+            1 + lins_t % W2,
+            1 + lins_t // W2,
+            sims[:MAX_MATCHES].astype(np.float32),
+        )
 
     @staticmethod
     def _replay_tables(inv: np.ndarray):
@@ -535,27 +609,19 @@ class NccMatcher:
                 # exact host fallback for this needle only
                 if oracle_searcher is None:
                     oracle_searcher = _host_searcher(page)
-                ms = oracle_searcher.search(nd.pixels, self.threshold)
-                per_needle[i] = [
-                    MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
-                    for m in ms
-                ]
+                per_needle[i] = _matches_to_arrays(
+                    oracle_searcher.search(nd.pixels, self.threshold)
+                )
                 continue
             s = slice(cs[ti], ce[ti])
             keep = (sim[s] != np.inf) & (sim[s] > thr_f64)
-            hits = [
-                MatchWithLetter(
-                    nd.letter, int(x), int(y), grp.nw, grp.nh, float(np.float32(sm))
-                )
-                for x, y, sm in zip(
-                    xs[s][keep][:MAX_MATCHES],
-                    ys[s][keep][:MAX_MATCHES],
-                    sim[s][keep][:MAX_MATCHES],
-                )
-            ]
             if keep.sum() >= MAX_MATCHES:
                 print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
-            per_needle[i] = hits
+            per_needle[i] = (
+                xs[s][keep][:MAX_MATCHES].astype(np.int64),
+                ys[s][keep][:MAX_MATCHES].astype(np.int64),
+                sim[s][keep][:MAX_MATCHES].astype(np.float32),
+            )
         if verbose:
             per_search_ms = elapsed * 1000.0 / max(len(grp.needle_ids), 1)
             ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)

@@ -101,3 +101,54 @@ def process_hits(
     if verbose:
         print(f"processing took {int((time.perf_counter() - t0) * 1000)}ms", file=sys.stderr)
     return lines
+
+
+def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[MatchWithLetter]]:
+    """Array-form process_hits (models/ncc.py::HitStruct input) — identical
+    semantics, vectorized: the anchor filter, stable y/x sorts, run-anchored
+    overlap partition, and last-max dedup operate on arrays, and
+    MatchWithLetter objects are built only for the surviving line hits
+    (dense pages have ~10x more raw hits than survivors)."""
+    import numpy as np
+
+    anchor_f32 = np.float32(anchor_threshold)
+    y = hs.y
+    if len(y) == 0:
+        return []
+    anchor_ys = np.unique(y[hs.sim >= anchor_f32])
+    keep = np.isin(y, anchor_ys)
+    if not keep.any():
+        return []
+    y = y[keep]
+    x = hs.x[keep]
+    sim = hs.sim[keep]
+    nid = hs.needle_id[keep]
+
+    order = np.argsort(y, kind="stable")
+    y, x, sim, nid = y[order], x[order], sim[order], nid[order]
+    bounds = np.flatnonzero(np.diff(y)) + 1
+    starts = np.concatenate([[0], bounds, [len(y)]])
+
+    needles = hs.matcher.needles
+    lines: list[list[MatchWithLetter]] = []
+    for li in range(len(starts) - 1):
+        i, j = int(starts[li]), int(starts[li + 1])
+        xo = np.argsort(x[i:j], kind="stable") + i
+        lx, lsim, lnid, lyy = x[xo], sim[xo], nid[xo], y[xo]
+        dedup: list[MatchWithLetter] = []
+        r = 0
+        L = len(lx)
+        while r < L:
+            # run anchored at its FIRST element (partition_by semantics)
+            e = int(np.searchsorted(lx, lx[r] + overlap, side="right"))
+            w = r + (len(lsim[r:e]) - 1 - int(np.argmax(lsim[r:e][::-1])))  # last max
+            nd = needles[lnid[w]]
+            nh_, nw_ = nd.pixels.shape
+            dedup.append(
+                MatchWithLetter(
+                    nd.letter, int(lx[w]), int(lyy[w]), nw_, nh_, float(lsim[w])
+                )
+            )
+            r = e
+        lines.append(dedup)
+    return lines

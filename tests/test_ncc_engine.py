@@ -124,3 +124,38 @@ def test_get_hits_many_matches_single(mono_font_path):
     single = [m.get_hits(p) for p in pages]
     key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
     assert [key(h) for h in many] == [key(h) for h in single]
+
+
+def test_struct_pipeline_matches_objects(mono_font_path):
+    """HitStruct + process_hits_struct must produce the same lines as the
+    object pipeline (get_hits + process_hits), including tie-break order."""
+    import numpy as np
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.post import process_hits, process_hits_struct
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    pages = [
+        synthesize_page(face, [t, t[::-1]], dopts, ropts, "AB01ab", (64, 128))
+        for t in ("AB01ab", "ba10BA")
+    ]
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1, threshold=0.5)
+    structs = m.get_hits_many(pages, struct=True)
+    objects = m.get_hits_many(pages)
+    key = lambda lines: [
+        [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in ln]
+        for ln in lines
+    ]
+    for hs, ho in zip(structs, objects):
+        # the struct itself must round-trip to identical objects
+        assert key([hs.to_objects()]) == key([ho])
+        a = process_hits_struct(hs, 0.95, 5)
+        b = process_hits(ho, 0.95, 5)
+        assert key(a) == key(b)
+        # also exercise a nonstandard overlap that forces multi-hit runs
+        assert key(process_hits_struct(hs, 0.8, 9)) == key(process_hits(ho, 0.8, 9))
