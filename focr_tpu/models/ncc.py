@@ -536,15 +536,13 @@ class NccMatcher:
 
     @staticmethod
     def _replay_tables(inv: np.ndarray):
-        """Host integral tables + strided window view for exact per-candidate
-        integers (acc, Σp, Σp²) in the Pallas path's f64 replay."""
-        from focr_tpu.oracle.ncc_oracle import sum_table, sumsqr_table
-
-        return (
-            inv.astype(np.int64),
-            sum_table(inv).astype(np.int64),
-            sumsqr_table(inv).astype(np.int64),
-        )
+        """Exact per-candidate integers for the Pallas-path f64 replay come
+        straight from the page: i64 pixels + their squares (window sums are
+        taken over strided views at each candidate — identical values to the
+        reference's integral-table lookups on the x,y>=1 domain, without
+        paying two full-page i64 cumsum passes per page)."""
+        inv64 = inv.astype(np.int64)
+        return (inv64, inv64 * inv64)
 
     def _pallas_group(
         self, grp, outs, tables, thr_f32, thr_f64, per_needle,
@@ -553,10 +551,11 @@ class NccMatcher:
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
         widx, wval, counts, nzw = (np.asarray(o) for o in outs)
-        inv64, st, s2t = tables
+        inv64, inv64_sq = tables
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
         wins = np.lib.stride_tricks.sliding_window_view(inv64, (grp.nh, grp.nw))
+        wins_sq = np.lib.stride_tricks.sliding_window_view(inv64_sq, (grp.nh, grp.nw))
         bit = np.arange(32, dtype=np.int64)
 
         T = len(grp.needle_ids)
@@ -581,19 +580,10 @@ class NccMatcher:
         xs = (w_in % WW) * 32 + b
         if len(ys):
             bank64 = grp.bank.astype(np.int64)
-            acc = (wins[ys, xs] * bank64[nid_c]).sum(axis=(1, 2))
-            sp = (
-                st[ys + grp.nh - 1, xs + grp.nw - 1]
-                - st[ys + grp.nh - 1, xs - 1]
-                + st[ys - 1, xs - 1]
-                - st[ys - 1, xs + grp.nw - 1]
-            )
-            s2p = (
-                s2t[ys + grp.nh - 1, xs + grp.nw - 1]
-                - s2t[ys + grp.nh - 1, xs - 1]
-                + s2t[ys - 1, xs - 1]
-                - s2t[ys - 1, xs + grp.nw - 1]
-            )
+            w_cand = wins[ys, xs]
+            acc = (w_cand * bank64[nid_c]).sum(axis=(1, 2))
+            sp = w_cand.sum(axis=(1, 2))
+            s2p = wins_sq[ys, xs].sum(axis=(1, 2))
             sim = exact_similarities(
                 acc, sp, s2p, grp.s_n[nid_c], grp.s2_n[nid_c], n
             )
