@@ -541,8 +541,8 @@ class NccMatcher:
         taken over strided views at each candidate — identical values to the
         reference's integral-table lookups on the x,y>=1 domain, without
         paying two full-page i64 cumsum passes per page)."""
-        inv64 = inv.astype(np.int64)
-        return (inv64, inv64 * inv64)
+        inv32 = inv.astype(np.int32)  # sums fit i32: n*255^2 < 2^24 (gated)
+        return (inv32, inv32 * inv32)
 
     def _pallas_group(
         self, grp, outs, tables, thr_f32, thr_f64, per_needle,
@@ -551,11 +551,11 @@ class NccMatcher:
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
         widx, wval, counts, nzw = (np.asarray(o) for o in outs)
-        inv64, inv64_sq = tables
+        inv32, inv32_sq = tables
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
-        wins = np.lib.stride_tricks.sliding_window_view(inv64, (grp.nh, grp.nw))
-        wins_sq = np.lib.stride_tricks.sliding_window_view(inv64_sq, (grp.nh, grp.nw))
+        wins = np.lib.stride_tricks.sliding_window_view(inv32, (grp.nh, grp.nw))
+        wins_sq = np.lib.stride_tricks.sliding_window_view(inv32_sq, (grp.nh, grp.nw))
         bit = np.arange(32, dtype=np.int64)
 
         T = len(grp.needle_ids)
@@ -579,11 +579,11 @@ class NccMatcher:
         ys = w_in // WW
         xs = (w_in % WW) * 32 + b
         if len(ys):
-            bank64 = grp.bank.astype(np.int64)
+            bank32 = grp.bank.astype(np.int32)
             w_cand = wins[ys, xs]
-            acc = (w_cand * bank64[nid_c]).sum(axis=(1, 2))
-            sp = w_cand.sum(axis=(1, 2))
-            s2p = wins_sq[ys, xs].sum(axis=(1, 2))
+            acc = (w_cand * bank32[nid_c]).sum(axis=(1, 2), dtype=np.int32)
+            sp = w_cand.sum(axis=(1, 2), dtype=np.int32)
+            s2p = wins_sq[ys, xs].sum(axis=(1, 2), dtype=np.int32)
             sim = exact_similarities(
                 acc, sp, s2p, grp.s_n[nid_c], grp.s2_n[nid_c], n
             )

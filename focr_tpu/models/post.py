@@ -135,13 +135,25 @@ def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[
         i, j = int(starts[li]), int(starts[li + 1])
         xo = np.argsort(x[i:j], kind="stable") + i
         lx, lsim, lnid, lyy = x[xo], sim[xo], nid[xo], y[xo]
-        dedup: list[MatchWithLetter] = []
-        r = 0
         L = len(lx)
+        # run partition anchored at each run's FIRST element (partition_by
+        # semantics): jump pointers nxt[i] = end of a run starting at i,
+        # computed for every i in one vectorized searchsorted
+        nxt = np.searchsorted(lx, lx + overlap, side="right")
+        run_starts = []
+        r = 0
         while r < L:
-            # run anchored at its FIRST element (partition_by semantics)
-            e = int(np.searchsorted(lx, lx[r] + overlap, side="right"))
-            w = r + (len(lsim[r:e]) - 1 - int(np.argmax(lsim[r:e][::-1])))  # last max
+            run_starts.append(r)
+            r = int(nxt[r])
+        rs = np.array(run_starts, dtype=np.int64)
+        # last max per run: max value via reduceat, then the LAST index
+        # attaining it (Rust max_by keeps the last maximal element)
+        run_max = np.maximum.reduceat(lsim, rs)
+        run_of = np.searchsorted(rs, np.arange(L), side="right") - 1
+        at_max = lsim == run_max[run_of]
+        widx = np.maximum.reduceat(np.where(at_max, np.arange(L), -1), rs)
+        dedup = []
+        for w in widx:
             nd = needles[lnid[w]]
             nh_, nw_ = nd.pixels.shape
             dedup.append(
@@ -149,6 +161,5 @@ def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[
                     nd.letter, int(lx[w]), int(lyy[w]), nw_, nh_, float(lsim[w])
                 )
             )
-            r = e
         lines.append(dedup)
     return lines
