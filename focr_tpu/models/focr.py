@@ -160,12 +160,24 @@ class GridDecoder:
                 self.groups.append((grp, fn))
                 self._bank0 = bank
             if self.mesh is None and fwds:
-                # ONE jitted call for every row group: a single dispatch
-                # round trip per batch (per-call latency dominates off-chip)
-                def combined(strip_list, _fwds=tuple(fwds)):
-                    return [f(s) for f, s in zip(_fwds, strip_list)]
+                # ONE jitted call for every row group, taking ONE flat u8
+                # buffer (all groups' strips concatenated): a single upload +
+                # a single dispatch round trip per batch — per-call latency
+                # dominates off-chip
+                shapes = tuple(
+                    (len(grp.ys), grp.crop_h, self.crop_w) for grp, _ in self.groups
+                )
 
-                self._combined_fn = jax.jit(combined)
+                def combined(flat, B, _fwds=tuple(fwds), _shapes=shapes):
+                    outs = []
+                    off = 0
+                    for f, (R, ch, cw) in zip(_fwds, _shapes):
+                        sz = B * R * ch * cw
+                        outs.append(f(flat[off : off + sz].reshape(B, R, ch, cw)))
+                        off += sz
+                    return outs
+
+                self._combined_fn = jax.jit(combined, static_argnames=("B",))
         elif self.crop_w > 0 and alphabet:
             from focr_tpu.fonts.bank import build_prop_bank
             from focr_tpu.models.focr_prop import PropDecoder
@@ -232,13 +244,15 @@ class GridDecoder:
             pages, _ = pad_batch(pages, self.mesh.size)
             pages_j = jax.device_put(jnp.asarray(pages), pages_sharding(self.mesh))
             return (n, [fn(pages_j) for _, fn in self.groups])
-        # single chip: crop scan strips on host, upload only those bytes,
-        # run every row group in one device call
-        strips = [
-            jnp.asarray(crop_strips(pages, grp.ys, grp.crop_h, self.x0, self.crop_w))
-            for grp, _ in self.groups
-        ]
-        return (n, self._combined_fn(strips))
+        # single chip: crop scan strips on host, upload only those bytes as
+        # ONE flat buffer, run every row group in one device call
+        flat = np.concatenate(
+            [
+                crop_strips(pages, grp.ys, grp.crop_h, self.x0, self.crop_w).reshape(-1)
+                for grp, _ in self.groups
+            ]
+        )
+        return (n, self._combined_fn(jnp.asarray(flat), B=pages.shape[0]))
 
     def _finish(self, outs) -> list[list[DecodedLine]]:
         """Force one batch's device results and assemble text lines."""
