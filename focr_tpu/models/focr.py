@@ -197,6 +197,10 @@ class GridDecoder:
             # zero-width crop: the all-white skip fires on every row
             # (empty-iterator all() == true), so no lines are ever emitted.
             return [[] for _ in range(B)]
+        if self.monospace and not self.groups:
+            # empty row grid (y_start at/past the page bottom): the
+            # reference's row loop breaks immediately (main.rs:205-207)
+            return [[] for _ in range(B)]
         if not self.monospace:
             if self.prop_groups:
                 return self._decode_prop(pages)

@@ -84,12 +84,22 @@ class HitStruct:
         return len(self.x)
 
     def to_objects(self) -> list[MatchWithLetter]:
-        needles = self.matcher.needles
-        out = []
-        for nid, x, y, s in zip(self.needle_id, self.x, self.y, self.sim):
-            nd = needles[nid]
-            nh, nw = nd.pixels.shape
-            out.append(MatchWithLetter(nd.letter, int(x), int(y), nw, nh, float(s)))
+        # delegate the per-hit construction (the bit-parity surface: letter,
+        # w/h, float coercion) to the single implementation
+        out: list[MatchWithLetter] = []
+        i = 0
+        N = len(self.x)
+        while i < N:  # hits are grouped by needle (reference iteration order)
+            j = i
+            nid = self.needle_id[i]
+            while j < N and self.needle_id[j] == nid:
+                j += 1
+            out.extend(
+                self.matcher._needle_objects(
+                    int(nid), (self.x[i:j], self.y[i:j], self.sim[i:j])
+                )
+            )
+            i = j
         return out
 
 
@@ -376,7 +386,7 @@ class NccMatcher:
         per_needle: dict[int, tuple] = {}
         t00 = t_dispatch  # the reference's "overall" span starts at get_hits
         oracle_searcher = None
-        tables = None  # (inv_i64, sum_table, sumsqr_table) for pallas replay
+        tables = None  # (inv_i32, inv_i32²) pixel planes for pallas replay
         for grp, kind, outs in plan:
             n = grp.nh * grp.nw
             if kind == "empty":
@@ -495,10 +505,11 @@ class NccMatcher:
             sims = np.zeros(0, np.float32)
         return HitStruct(needle_id=nid, x=xs, y=ys, sim=sims, matcher=self)
 
-    def _redo_wide(self, grp, ti, nd, inv, count) -> list[MatchWithLetter]:
+    def _redo_wide(self, grp, ti, nd, inv, count) -> tuple:
         """Re-dispatch ONE needle's sweep with a count-sized cap (exact device
         path; used when candidates overflowed and no host kernel supports the
-        needle width). Rounding the cap to a power of two bounds recompiles."""
+        needle width). Returns the (xs, ys, sims) array triple. Rounding the
+        cap to a power of two bounds recompiles."""
         cap = 1 << max(int(np.ceil(np.log2(count + 1))), 11)
         thr_f64 = np.float64(np.float32(self.threshold))
         idx, acc, sp, s2p, counts = (

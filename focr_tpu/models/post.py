@@ -109,8 +109,6 @@ def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[
     overlap partition, and last-max dedup operate on arrays, and
     MatchWithLetter objects are built only for the surviving line hits
     (dense pages have ~10x more raw hits than survivors)."""
-    import numpy as np
-
     anchor_f32 = np.float32(anchor_threshold)
     y = hs.y
     if len(y) == 0:
@@ -138,8 +136,14 @@ def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[
         L = len(lx)
         # run partition anchored at each run's FIRST element (partition_by
         # semantics): jump pointers nxt[i] = end of a run starting at i,
-        # computed for every i in one vectorized searchsorted
-        nxt = np.searchsorted(lx, lx + overlap, side="right")
+        # computed for every i in one vectorized searchsorted. A run always
+        # contains its anchor, so nxt >= i+1 — also what partition_by yields
+        # for negative overlap (every hit its own run), where a raw
+        # searchsorted would return nxt <= i and loop forever.
+        nxt = np.maximum(
+            np.searchsorted(lx, lx + overlap, side="right"),
+            np.arange(1, L + 1),
+        )
         run_starts = []
         r = 0
         while r < L:

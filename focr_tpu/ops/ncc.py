@@ -148,19 +148,27 @@ def ncc_candidates(
     norm2n_int = jnp.int64(n) * s2_n.astype(jnp.int64) - s_n.astype(jnp.int64) ** 2
     norm2n_f = norm2n_int.astype(jnp.float32) / nf  # [T], >= 0 where valid
     num_f = acc.astype(jnp.float32) - s_n_f * sp_f[None] * (jnp.float32(1.0) / nf)
-    den_f = (
-        jnp.sqrt(jnp.maximum(norm2n_f, 0.0))[:, None, None]
-        * jnp.sqrt(jnp.maximum(norm2p_f, 0.0))[None]
-    )
     valid = (sp[None] > 0) & (norm2p_exact[None] > 0) & (norm2n_int[:, None, None] > 0)
-    # division-free ε-superset test with an ABSOLUTE f32-error slack: the
-    # magnitudes entering num/den are bounded by n·255², so rounding error is
-    # bounded by ~2⁻²⁴·c·n·65025; a fixed relative eps alone provably drops
-    # true matches near high-mean/low-variance windows (sim error can exceed
-    # 1e-3 there). Extra candidates are killed by the exact f64 host replay.
+    # division-free ε-superset test. Soundness requires BOTH sides bounded:
+    #   * num_f >= num_exact - slack (magnitudes <= n·255² so the f32 error
+    #     chain is <= ~2⁻²⁴·c·n·65025);
+    #   * the denominator must be a certified LOWER bound — norm2p_f can
+    #     round ABOVE the exact value, and near zero variance the sqrt
+    #     amplifies that error by sqrt(norm2n)/2√norm2p, which no additive
+    #     slack covers (a true sim=1.0 match on a high-mean page was dropped
+    #     by the previous formulation). Subtracting the absolute error bound
+    #     before the sqrt makes den_lo <= den_exact always, so
+    #       num_exact > thr·den_exact  =>  num_f + slack > thr·den_lo.
+    # Extra candidates are killed by the exact f64 host replay.
+    err_p = jnp.float32(8.0 * 2.0**-24 * n * 65025)  # |norm2p_f - exact| bound
+    den_lo = (
+        jnp.sqrt(jnp.maximum(norm2n_f * jnp.float32(1.0 - 2.0**-22), 0.0))[:, None, None]
+        * jnp.sqrt(jnp.maximum(norm2p_f - err_p, 0.0))[None]
+        * jnp.float32(1.0 - 2.0**-21)
+    )
     slack = jnp.float32(32.0 * 2.0**-24 * n * 65025 + 16.0)
     thr_m = threshold.astype(jnp.float32) - jnp.float32(eps)
-    mask = valid & (num_f > thr_m * den_f - slack)
+    mask = valid & (num_f > thr_m * den_lo - slack)
 
     lin = jnp.arange(H2 * W2, dtype=jnp.int32).reshape(H2, W2)
     big = jnp.int32(2**31 - 1)

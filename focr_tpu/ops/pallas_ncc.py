@@ -94,17 +94,21 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
     s2p = s2p_ref[pl.ds(y, 1), :]
     norm2p = s2p - sp * sp * jnp.float32(1.0 / n)
     num = acc - sn_n[:, None] * sp
-    den = rt_n2n[:, None] * jnp.sqrt(jnp.maximum(norm2p, 0.0))
-    # f32 slack: sp/s2p/acc are exact integers (pallas_supported gates
-    # K*255^2 < 2^24), but sp*sp/n and sn_n*sp round — widen both tests so a
-    # true match can never be dropped; extra candidates die in the exact f64
-    # host replay (norm2p_exact <= 0 => sim = inf/NaN there, filtered like
-    # the reference ncc.rs:457-473)
+    # certified LOWER-bound denominator: norm2p can round ABOVE its exact
+    # value (|error| <= 8 here: magnitudes gated below 2^24), and near zero
+    # variance the sqrt amplifies any overshoot unboundedly — subtract the
+    # error bound BEFORE the sqrt so den_lo <= den_exact always; combined
+    # with the additive num slack, a true match can never be dropped. Extra
+    # candidates die in the exact f64 host replay (norm2p_exact <= 0 =>
+    # sim = inf/NaN there, filtered like the reference ncc.rs:457-473).
+    den_lo = rt_n2n[:, None] * jnp.sqrt(
+        jnp.maximum(norm2p - jnp.float32(8.0), 0.0)
+    )
     keep = (
         (sp > 0)
         & (norm2p > jnp.float32(-8.0))
         & (n2n[:, None] > 0)
-        & (num > thr_eps * den - jnp.float32(48.0))
+        & (num > thr_eps * den_lo - jnp.float32(48.0))
         & col_ok
         & (y < Hs)  # rows >= Hs are padding: their bytes stay 0
     )

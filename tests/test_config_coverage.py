@@ -164,3 +164,81 @@ def test_wide_needle_overflow_redoes_on_device(mono_font_path, monkeypatch):
     want = m2.get_hits(page)
     key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
     assert key(hits) == key(want)
+
+
+def test_low_variance_high_mean_window_not_dropped():
+    """A true sim=1.0 match in a near-uniform high-mean window must survive
+    the device candidate guard: the denominator must be a certified LOWER
+    bound, or f32 rounding of norm2p inflates thr*den past num and drops it
+    (execution-confirmed regression)."""
+    import jax.numpy as jnp
+
+    from focr_tpu.ops import ncc as ncc_ops
+
+    nh, nw = 25, 16
+    needle = np.zeros((nh, nw), dtype=np.uint8)
+    needle[10, 12] = 128
+    inv = np.full((60, 60), 237, dtype=np.uint8)
+    inv[20 + 10, 30 + 12] += 1  # exact imprint of the needle's variance
+    s_n = needle.astype(np.int64).sum()
+    s2 = (needle.astype(np.int64) ** 2).sum()
+    idx, acc, sp, s2p, counts = ncc_ops.ncc_candidates(
+        jnp.asarray(inv), jnp.asarray(needle[None]),
+        jnp.asarray(np.array([s_n])), jnp.asarray(np.array([s2])),
+        jnp.asarray(np.float32(0.95)), nw=nw, nh=nh, cap=4096,
+    )
+    counts = np.asarray(counts)
+    assert counts[0] >= 1  # the sim=1.0 window must be a candidate
+
+    # end-to-end: oracle agrees once the exact replay filters
+    from focr_tpu.models.ncc import exact_similarities
+
+    k = int(counts[0])
+    sim = exact_similarities(
+        np.asarray(acc)[0, :k], np.asarray(sp)[0, :k], np.asarray(s2p)[0, :k],
+        int(s_n), int(s2), nh * nw,
+    )
+    assert (np.float32(sim) >= np.float32(1.0)).any()
+
+
+def test_negative_overlap_terminates_and_matches(mono_font_path):
+    """--overlap -1 must terminate (each hit its own run) in both pipelines
+    (the vectorized one previously looped forever)."""
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.post import process_hits, process_hits_struct
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    from focr_tpu.io.synth import synthesize_page as _sp
+
+    page = _sp(face, ["ABAB"], dopts, ropts, "AB", (64, 128))
+    m = NccMatcher(face, "AB", ropts, threshold=0.5)
+    ho = m.get_hits(page)
+    (hs,) = m.get_hits_many([page], struct=True)
+    key = lambda lines: [
+        [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in ln]
+        for ln in lines
+    ]
+    a = process_hits_struct(hs, 0.9, -1)
+    b = process_hits(ho, 0.9, -1)
+    assert key(a) == key(b)
+    assert sum(len(ln) for ln in a) == sum(
+        1 for ln in b for _ in ln
+    )  # every anchored hit survives as its own run
+
+
+def test_empty_row_grid_decodes_to_nothing(mono_font_path):
+    """y_start at/past the page bottom: zero lines, no crash (reference row
+    loop breaks immediately, main.rs:205-207)."""
+    from focr_tpu.models.focr import GridDecoder
+    from focr_tpu.oracle.focr_oracle import decode_image
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=100, line_height=13, line_advance=15, width=110)
+    page = np.full((48, 128), 255, dtype=np.uint8)
+    dec = GridDecoder(face, "AB01", dopts, ropts, (48, 128))
+    assert dec.decode_batch(page[None]) == [[]]
+    assert decode_image(page, face, "AB01", dopts, ropts) == []
