@@ -96,3 +96,34 @@ def test_fuzz_focr_device_vs_oracle(mono_font_path, sans_font_path, seed):
     got = dec.decode_batch(page[None])[0]
     want = decode_image(page, face, alphabet, dopts, ropts)
     assert [(l.text, l.y) for l in got] == [(l.text, l.y) for l in want], f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_adversarial_low_variance(mono_font_path, seed):
+    """High-mean, near-uniform pages with tiny perturbations — the regime
+    where f32 variance rounding is most dangerous for the candidate guards.
+    Both device kernels must stay hit-for-hit identical to the oracle."""
+    from focr_tpu.models.ncc import NccMatcher
+
+    rng = np.random.default_rng(300 + seed)
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    # page: dark near-uniform background (inverted ~230-245) + sparse deltas
+    H, W = 56, 96
+    page = np.full((H, W), 255 - int(rng.integers(230, 246)), dtype=np.uint8)
+    n_spots = int(rng.integers(5, 30))
+    ys = rng.integers(0, H, n_spots)
+    xs = rng.integers(0, W, n_spots)
+    page[ys, xs] = np.clip(
+        page[ys, xs].astype(int) + rng.integers(-3, 4, n_spots), 0, 255
+    ).astype(np.uint8)
+    threshold = float(rng.uniform(0.2, 0.9))
+    kernel = str(rng.choice(["pallas", "xla"]))
+    m = NccMatcher(face, "il.", ropts, box_size=BoxSize.CHAR,
+                   threshold=threshold, device_kernel=kernel)
+    hd = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    key = lambda hs: [
+        (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs
+    ]
+    assert key(hd) == key(ho), f"seed {seed} kernel={kernel} thr={threshold}"
