@@ -242,3 +242,41 @@ def test_empty_row_grid_decodes_to_nothing(mono_font_path):
     dec = GridDecoder(face, "AB01", dopts, ropts, (48, 128))
     assert dec.decode_batch(page[None]) == [[]]
     assert decode_image(page, face, "AB01", dopts, ropts) == []
+
+
+def test_needle_padding_matches_oracle(mono_font_path):
+    """--x-padding/--y-padding enlarge needle canvases (ncc.rs:167); device
+    results must stay identical to the oracle with padded needles."""
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=6, y_start=7, line_height=13, line_advance=16, width=110)
+    page = synthesize_page(face, ["AB01"], dopts, ropts, "AB01", (64, 128))
+    m = NccMatcher(face, "AB01", ropts, padding=(2, 1), threshold=0.6)
+    hd = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    assert len(hd) > 0
+    key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
+    assert key(hd) == key(ho)
+    # padding grows the reported rect by 2*pad in each dimension
+    m0 = NccMatcher(face, "AB01", ropts, threshold=0.6)
+    h0 = m0.get_hits(page)
+    assert hd[0].w == h0[0].w + 4 and hd[0].h == h0[0].h + 2
+
+
+def test_ncc_hinting_matches_oracle(mono_font_path):
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0, hinting=HintingOptions(full=True, size=11.0))
+    dopts = DecodeOptions(x_start=6, y_start=7, line_height=13, line_advance=16, width=110)
+    page = synthesize_page(face, ["AB01"], dopts, ropts, "AB01", (64, 128))
+    m = NccMatcher(face, "AB01", ropts, threshold=0.6)
+    hd = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    assert len(hd) > 0
+    key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
+    assert key(hd) == key(ho)
