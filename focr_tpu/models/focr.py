@@ -79,17 +79,25 @@ def make_strip_forward(bank: GridBank):
     return fn
 
 
-def crop_strips(pages: np.ndarray, ys: tuple[int, ...], crop_h: int, x0: int, crop_w: int):
+def crop_strips(
+    pages: np.ndarray, ys: tuple[int, ...], crop_h: int, x0: int, crop_w: int,
+    out: np.ndarray | None = None,
+):
     """Host-side scan-rectangle crop: [B, H, W] -> [B, R, crop_h, crop_w] u8.
 
     Rows whose rectangle hangs past the page bottom are white-padded — the
     caller only passes ys whose crop height equals crop_h (see _row_groups),
-    so padding never actually materializes for grouped rows."""
+    so padding never actually materializes for grouped rows. ``out`` lets the
+    caller fill a view of a preallocated buffer (one copy instead of two on
+    the throughput path)."""
     B, H, W = pages.shape
-    out = np.full((B, len(ys), crop_h, crop_w), 255, dtype=np.uint8)
+    if out is None:
+        out = np.empty((B, len(ys), crop_h, crop_w), dtype=np.uint8)
     for ri, y in enumerate(ys):
         h = min(crop_h, H - y)
         out[:, ri, :h] = pages[:, y : y + h, x0 : x0 + crop_w]
+        if h < crop_h:
+            out[:, ri, h:] = 255
     return out
 
 
@@ -249,14 +257,17 @@ class GridDecoder:
             pages_j = jax.device_put(jnp.asarray(pages), pages_sharding(self.mesh))
             return (n, [fn(pages_j) for _, fn in self.groups])
         # single chip: crop scan strips on host, upload only those bytes as
-        # ONE flat buffer, run every row group in one device call
-        flat = np.concatenate(
-            [
-                crop_strips(pages, grp.ys, grp.crop_h, self.x0, self.crop_w).reshape(-1)
-                for grp, _ in self.groups
-            ]
-        )
-        return (n, self._combined_fn(jnp.asarray(flat), B=pages.shape[0]))
+        # ONE flat buffer (filled in place — no second memcpy), run every row
+        # group in one device call
+        B = pages.shape[0]
+        sizes = [B * len(g.ys) * g.crop_h * self.crop_w for g, _ in self.groups]
+        flat = np.empty(sum(sizes), dtype=np.uint8)
+        off = 0
+        for (grp, _), sz in zip(self.groups, sizes):
+            view = flat[off : off + sz].reshape(B, len(grp.ys), grp.crop_h, self.crop_w)
+            crop_strips(pages, grp.ys, grp.crop_h, self.x0, self.crop_w, out=view)
+            off += sz
+        return (n, self._combined_fn(jnp.asarray(flat), B=B))
 
     def _finish(self, outs) -> list[list[DecodedLine]]:
         """Force one batch's device results and assemble text lines."""

@@ -166,9 +166,18 @@ def ncc_candidates(
         * jnp.sqrt(jnp.maximum(norm2p_f - err_p, 0.0))[None]
         * jnp.float32(1.0 - 2.0**-21)
     )
+    # ... but the bound direction flips with the threshold's sign: for
+    # thr_m < 0 (legal: sim ∈ [-1, 1]), thr_m·den_lo >= thr_m·den_exact and
+    # a LOWER bound would raise the cut — use the UPPER bound there
+    den_hi = (
+        jnp.sqrt(norm2n_f * jnp.float32(1.0 + 2.0**-22))[:, None, None]
+        * jnp.sqrt(jnp.maximum(norm2p_f + err_p, 0.0))[None]
+        * jnp.float32(1.0 + 2.0**-21)
+    )
     slack = jnp.float32(32.0 * 2.0**-24 * n * 65025 + 16.0)
     thr_m = threshold.astype(jnp.float32) - jnp.float32(eps)
-    mask = valid & (num_f > thr_m * den_lo - slack)
+    den_bound = jnp.where(thr_m >= 0, den_lo, den_hi)
+    mask = valid & (num_f > thr_m * den_bound - slack)
 
     lin = jnp.arange(H2 * W2, dtype=jnp.int32).reshape(H2, W2)
     big = jnp.int32(2**31 - 1)

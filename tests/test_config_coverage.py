@@ -211,9 +211,7 @@ def test_negative_overlap_terminates_and_matches(mono_font_path):
     face = Face(mono_font_path)
     ropts = RenderOptions(size=11.0)
     dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
-    from focr_tpu.io.synth import synthesize_page as _sp
-
-    page = _sp(face, ["ABAB"], dopts, ropts, "AB", (64, 128))
+    page = synthesize_page(face, ["ABAB"], dopts, ropts, "AB", (64, 128))
     m = NccMatcher(face, "AB", ropts, threshold=0.5)
     ho = m.get_hits(page)
     (hs,) = m.get_hits_many([page], struct=True)
@@ -221,12 +219,7 @@ def test_negative_overlap_terminates_and_matches(mono_font_path):
         [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in ln]
         for ln in lines
     ]
-    a = process_hits_struct(hs, 0.9, -1)
-    b = process_hits(ho, 0.9, -1)
-    assert key(a) == key(b)
-    assert sum(len(ln) for ln in a) == sum(
-        1 for ln in b for _ in ln
-    )  # every anchored hit survives as its own run
+    assert key(process_hits_struct(hs, 0.9, -1)) == key(process_hits(ho, 0.9, -1))
 
 
 def test_empty_row_grid_decodes_to_nothing(mono_font_path):
@@ -280,3 +273,29 @@ def test_ncc_hinting_matches_oracle(mono_font_path):
     assert len(hd) > 0
     key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
     assert key(hd) == key(ho)
+
+
+def test_negative_threshold_matches_oracle(mono_font_path):
+    """Negative thresholds are legal (sim spans [-1, 1]); the certified
+    denominator bound must flip direction there or anti-correlated
+    low-variance windows get dropped (execution-confirmed regression)."""
+    from focr_tpu.models.ncc import NccMatcher
+
+    rng = np.random.default_rng(1)
+    page = np.full((40, 48), 255 - 237, dtype=np.uint8)
+    ys = rng.integers(0, 40, 12)
+    xs = rng.integers(0, 48, 12)
+    page[ys, xs] = np.clip(
+        page[ys, xs].astype(int) + rng.integers(-1, 2, 12), 0, 255
+    ).astype(np.uint8)
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    key = lambda hs: [
+        (h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs
+    ]
+    for kernel in ("xla", "pallas"):
+        m = NccMatcher(face, "il", ropts, box_size=BoxSize.CHAR,
+                       threshold=-1.5, device_kernel=kernel)
+        hd = m.get_hits(page)
+        ho = m.get_hits_oracle(page)
+        assert key(hd) == key(ho), kernel
