@@ -581,27 +581,47 @@ class NccMatcher:
         else:
             first_suspect = T
 
-        # unpack EVERY candidate of the group at once; np.nonzero is
-        # row-major so (word, bit) stays in (needle, scan) order
-        bits = ((v_all[:, None] >> bit.astype(np.uint32)[None, :]) & 1).astype(bool)
-        wi, b = np.nonzero(bits)
-        nid_c = nid[wi]
-        w_in = w_all[wi] % stride
-        ys = w_in // WW
-        xs = (w_in % WW) * 32 + b
-        if len(ys):
-            bank32 = grp.bank.astype(np.int32)
-            w_cand = wins[ys, xs]
-            acc = (w_cand * bank32[nid_c]).sum(axis=(1, 2), dtype=np.int32)
-            sp = w_cand.sum(axis=(1, 2), dtype=np.int32)
-            s2p = wins_sq[ys, xs].sum(axis=(1, 2), dtype=np.int32)
-            sim = exact_similarities(
-                acc, sp, s2p, grp.s_n[nid_c], grp.s2_n[nid_c], n
-            )
+        ws = np.searchsorted(nid, np.arange(T))
+        we = np.searchsorted(nid, np.arange(T) + 1)
+        native = None
+        if len(w_all) and first_suspect > 0:
+            try:
+                from focr_tpu.native import ncc_cpu
+
+                if ncc_cpu.available():
+                    native = ncc_cpu.replay_group(
+                        inv32.astype(np.uint8), w_all, v_all,
+                        ws[:first_suspect], we[:first_suspect],
+                        grp.bank, grp.s_n, grp.s2_n,
+                        float(thr_f64), stride, WW, MAX_MATCHES,
+                    )
+            except Exception:  # noqa: BLE001 - toolchain missing: numpy path
+                native = None
+
+        if native is None:
+            # NumPy replay: unpack every candidate at once (np.nonzero is
+            # row-major, so (word, bit) keeps the (needle, scan) order)
+            bits = ((v_all[:, None] >> bit.astype(np.uint32)[None, :]) & 1).astype(bool)
+            wi, b = np.nonzero(bits)
+            nid_c = nid[wi]
+            w_in = w_all[wi] % stride
+            ys = w_in // WW
+            xs = (w_in % WW) * 32 + b
+            if len(ys):
+                bank32 = grp.bank.astype(np.int32)
+                w_cand = wins[ys, xs]
+                acc = (w_cand * bank32[nid_c]).sum(axis=(1, 2), dtype=np.int32)
+                sp = w_cand.sum(axis=(1, 2), dtype=np.int32)
+                s2p = wins_sq[ys, xs].sum(axis=(1, 2), dtype=np.int32)
+                sim = exact_similarities(
+                    acc, sp, s2p, grp.s_n[nid_c], grp.s2_n[nid_c], n
+                )
+            else:
+                sim = np.zeros(0, np.float64)
+            cs = np.searchsorted(nid_c, np.arange(T))
+            ce = np.searchsorted(nid_c, np.arange(T) + 1)
         else:
-            sim = np.zeros(0, np.float64)
-        cs = np.searchsorted(nid_c, np.arange(T))
-        ce = np.searchsorted(nid_c, np.arange(T) + 1)
+            out_x, out_y, out_sim, n_counts, n_warn = native
 
         for ti, i in enumerate(grp.needle_ids):
             nd = self.needles[i]
@@ -612,6 +632,17 @@ class NccMatcher:
                     oracle_searcher = _host_searcher(page)
                 per_needle[i] = _matches_to_arrays(
                     oracle_searcher.search(nd.pixels, self.threshold)
+                )
+                continue
+            if native is not None:
+                if n_warn[ti]:
+                    print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
+                off = 32 * int(ws[ti])
+                k = int(n_counts[ti])
+                per_needle[i] = (
+                    out_x[off : off + k].astype(np.int64),
+                    out_y[off : off + k].astype(np.int64),
+                    out_sim[off : off + k],
                 )
                 continue
             s = slice(cs[ti], ce[ti])

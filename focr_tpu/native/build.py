@@ -81,6 +81,18 @@ def load() -> ctypes.CDLL:
                 ctypes.c_float, ctypes.POINTER(FMatch), ctypes.c_int64,
                 ctypes.c_void_p,
             ]
+            lib.focr_ncc_replay_u8.restype = None
+            lib.focr_ncc_replay_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ref, w, h
+                ctypes.c_void_p, ctypes.c_void_p,  # widx, wval
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # starts, ends, T
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # bank, nw, nh
+                ctypes.c_void_p, ctypes.c_void_p,  # s_n, s2_n
+                ctypes.c_double, ctypes.c_int64, ctypes.c_int64,  # thr, stride, WW
+                ctypes.c_int64,  # max_matches
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out x/y/sim
+                ctypes.c_void_p, ctypes.c_void_p,  # counts, warn
+            ]
             _LIB = lib
             return lib
         except Exception as e:  # noqa: BLE001 - cache and re-raise

@@ -101,4 +101,59 @@ class NativeSearcher:
         return res
 
 
-__all__ = ["NativeSearcher", "available"]
+def replay_group(
+    inv: np.ndarray,  # [H, W] u8 inverted page
+    widx: np.ndarray,  # [Nw] i32 ascending global word indices (kept only)
+    wval: np.ndarray,  # [Nw] u32 packed bits
+    starts: np.ndarray,  # [T] i64 word-range start per needle
+    ends: np.ndarray,  # [T] i64 word-range end per needle
+    bank: np.ndarray,  # [T, nh, nw] u8
+    s_n: np.ndarray,  # [T] i64
+    s2_n: np.ndarray,  # [T] i64
+    thr_f64: float,
+    stride: int,
+    words_per_row: int,
+    max_matches: int,
+):
+    """Native exact-f64 replay of the device candidate bitmask.
+
+    Returns (out_x, out_y, out_sim, counts, warn): per-needle hits live at
+    out[32*starts[t] : 32*starts[t] + counts[t]], scan order, capped at
+    max_matches with the reference's WARN semantics.
+    """
+    lib = load()
+    T, n_h, n_w = bank.shape
+    inv = np.ascontiguousarray(inv)
+    widx = np.ascontiguousarray(widx, dtype=np.int32)
+    wval = np.ascontiguousarray(wval, dtype=np.uint32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    bank = np.ascontiguousarray(bank)
+    s_n = np.ascontiguousarray(s_n, dtype=np.int64)
+    s2_n = np.ascontiguousarray(s2_n, dtype=np.int64)
+    cap = 32 * max(len(widx), 1)
+    out_x = np.empty(cap, dtype=np.int32)
+    out_y = np.empty(cap, dtype=np.int32)
+    out_sim = np.empty(cap, dtype=np.float32)
+    counts = np.zeros(T, dtype=np.int32)
+    warn = np.zeros(T, dtype=np.uint8)
+    lib.focr_ncc_replay_u8(
+        inv.ctypes.data_as(ctypes.c_void_p), inv.shape[1], inv.shape[0],
+        widx.ctypes.data_as(ctypes.c_void_p),
+        wval.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
+        ends.ctypes.data_as(ctypes.c_void_p), T,
+        bank.ctypes.data_as(ctypes.c_void_p), n_w, n_h,
+        s_n.ctypes.data_as(ctypes.c_void_p),
+        s2_n.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_double(thr_f64), stride, words_per_row, max_matches,
+        out_x.ctypes.data_as(ctypes.c_void_p),
+        out_y.ctypes.data_as(ctypes.c_void_p),
+        out_sim.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        warn.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_x, out_y, out_sim, counts, warn
+
+
+__all__ = ["NativeSearcher", "available", "replay_group"]

@@ -132,4 +132,86 @@ void focr_ncc_search_many_u8(
     }
 }
 
+// Exact f64 replay of the device candidate bitmask (the host half of the
+// Pallas path, models/ncc.py::_pallas_group): for every set bit of every
+// compacted mask word, recompute the window's integer acc/sp/s2p directly
+// from the page and apply the reference's f64 similarity formula
+// (ncc.cpp:206-215, same association/order), emitting per-needle hits in
+// scan order with the MAX_MATCHES truncation (ncc.cpp:222-229).
+//
+// Words must be the ascending global-linear compaction the device returns
+// (grouped by needle); `starts`/`ends` give each needle's word range.
+// Outputs are written at fixed per-needle offsets 32*starts[t] (capacity:
+// one hit per bit), so needles parallelize independently (OpenMP).
+void focr_ncc_replay_u8(
+    const uint8_t* ref, int64_t r_w, int64_t r_h,
+    const int32_t* widx, const uint32_t* wval,
+    const int64_t* starts, const int64_t* ends, int64_t n_needles,
+    const uint8_t* bank, int64_t n_w, int64_t n_h,
+    const int64_t* s_n_arr, const int64_t* s2_n_arr,
+    double threshold, int64_t stride, int64_t words_per_row,
+    int64_t max_matches,
+    int32_t* out_x, int32_t* out_y, float* out_sim,
+    int32_t* out_counts, uint8_t* out_warn) {
+    const int64_t n = n_w * n_h;
+    const double n_recip = 1.0 / static_cast<double>(n);
+    const double nd = static_cast<double>(n);
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t t = 0; t < n_needles; ++t) {
+        const uint8_t* needle = bank + t * n_h * n_w;
+        const double s_n = static_cast<double>(s_n_arr[t]);
+        const double norm2_n =
+            static_cast<double>(s2_n_arr[t]) - s_n * s_n / nd;
+        const double rnorm_n = 1.0 / std::sqrt(norm2_n);
+        int64_t off = 32 * starts[t];
+        int64_t emitted = 0;
+        int64_t kept = 0;
+        for (int64_t w = starts[t]; w < ends[t]; ++w) {
+            const int64_t lin = static_cast<int64_t>(widx[w]) % stride;
+            const int64_t y = lin / words_per_row;
+            const int64_t xbase = (lin % words_per_row) * 32;
+            uint32_t bits = wval[w];
+            while (bits) {
+                const int b = __builtin_ctz(bits);
+                bits &= bits - 1;
+                const int64_t x = xbase + b;
+                int64_t acc = 0, sp = 0, s2p = 0;
+                for (int64_t dy = 0; dy < n_h; ++dy) {
+                    const uint8_t* r = ref + (y + dy) * r_w + x;
+                    const uint8_t* nr = needle + dy * n_w;
+                    int64_t a = 0, s1 = 0, s2 = 0;
+                    for (int64_t dx = 0; dx < n_w; ++dx) {
+                        const int64_t v = r[dx];
+                        a += v * nr[dx];
+                        s1 += v;
+                        s2 += v * v;
+                    }
+                    acc += a;
+                    sp += s1;
+                    s2p += s2;
+                }
+                const double spd = static_cast<double>(sp);
+                const double num =
+                    static_cast<double>(acc) - (s_n * spd) * n_recip;
+                const double norm_p =
+                    static_cast<double>(s2p) - (spd * spd) / nd;
+                const double rnorm_p = 1.0 / std::sqrt(norm_p);
+                const double sim = num * (rnorm_n * rnorm_p);
+                if (sim != std::numeric_limits<double>::infinity() &&
+                    sim > threshold) {
+                    ++kept;
+                    if (emitted < max_matches) {
+                        out_x[off + emitted] = static_cast<int32_t>(x);
+                        out_y[off + emitted] = static_cast<int32_t>(y);
+                        out_sim[off + emitted] = static_cast<float>(sim);
+                        ++emitted;
+                    }
+                }
+            }
+        }
+        out_counts[t] = static_cast<int32_t>(emitted);
+        out_warn[t] = kept >= max_matches ? 1 : 0;
+    }
+}
+
 }  // extern "C"

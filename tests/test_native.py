@@ -111,3 +111,39 @@ def test_three_way_engine_parity(mono_font_path):
     ] == [
         (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in ho
     ]
+
+
+def test_native_replay_matches_numpy_replay(mono_font_path):
+    """The C++ bitmask replay must be bit-identical to the NumPy replay
+    (same f64 formula, scan order, MAX_MATCHES cap, WARN semantics)."""
+    import numpy as np
+    import pytest
+
+    from focr_tpu.native import ncc_cpu
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    if not ncc_cpu.available():
+        pytest.skip("native toolchain unavailable")
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    page = synthesize_page(face, ["AB01ab", "10BAba"], dopts, ropts, "AB01ab", (64, 128))
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1, threshold=0.5,
+                   device_kernel="pallas")
+    with_native = m.get_hits(page)
+
+    import focr_tpu.native.ncc_cpu as mod
+    orig = mod.available
+    try:
+        mod.available = lambda: False
+        without = m.get_hits(page)
+    finally:
+        mod.available = orig
+    key = lambda hs: [
+        (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs
+    ]
+    assert len(with_native) > 0
+    assert key(with_native) == key(without)
