@@ -386,7 +386,7 @@ class NccMatcher:
         per_needle: dict[int, tuple] = {}
         t00 = t_dispatch  # the reference's "overall" span starts at get_hits
         oracle_searcher = None
-        tables = None  # (inv_i32, inv_i32²) pixel planes for pallas replay
+        tables = None  # (inv_i32, inv_i32², inv_u8) pixel planes for replay
         for grp, kind, outs in plan:
             n = grp.nh * grp.nw
             if kind == "empty":
@@ -553,7 +553,7 @@ class NccMatcher:
         reference's integral-table lookups on the x,y>=1 domain, without
         paying two full-page i64 cumsum passes per page)."""
         inv32 = inv.astype(np.int32)  # sums fit i32: n*255^2 < 2^24 (gated)
-        return (inv32, inv32 * inv32)
+        return (inv32, inv32 * inv32, np.ascontiguousarray(inv))
 
     def _pallas_group(
         self, grp, outs, tables, thr_f32, thr_f64, per_needle,
@@ -562,7 +562,7 @@ class NccMatcher:
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
         widx, wval, counts, nzw = (np.asarray(o) for o in outs)
-        inv32, inv32_sq = tables
+        inv32, inv32_sq, inv_u8 = tables
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
         wins = np.lib.stride_tricks.sliding_window_view(inv32, (grp.nh, grp.nw))
@@ -585,18 +585,15 @@ class NccMatcher:
         we = np.searchsorted(nid, np.arange(T) + 1)
         native = None
         if len(w_all) and first_suspect > 0:
-            try:
-                from focr_tpu.native import ncc_cpu
+            from focr_tpu.native import ncc_cpu
 
-                if ncc_cpu.available():
-                    native = ncc_cpu.replay_group(
-                        inv32.astype(np.uint8), w_all, v_all,
-                        ws[:first_suspect], we[:first_suspect],
-                        grp.bank, grp.s_n, grp.s2_n,
-                        float(thr_f64), stride, WW, MAX_MATCHES,
-                    )
-            except Exception:  # noqa: BLE001 - toolchain missing: numpy path
-                native = None
+            if ncc_cpu.available():  # toolchain gate; real bugs must raise
+                native = ncc_cpu.replay_group(
+                    inv_u8, w_all, v_all,
+                    ws[:first_suspect], we[:first_suspect],
+                    grp.bank, grp.s_n, grp.s2_n,
+                    float(thr_f64), stride, WW, MAX_MATCHES,
+                )
 
         if native is None:
             # NumPy replay: unpack every candidate at once (np.nonzero is

@@ -39,9 +39,12 @@ def _compile(so: str) -> None:
     # unique temp per process: concurrent first-use compiles (pytest-xdist,
     # parallel CLIs) must not interleave writes before the atomic rename
     tmp = f"{so}.{os.getpid()}.tmp"
+    # -ffp-contract=off: gcc's default fast contraction fuses the replay's
+    # f64 multiply-subtract into FMA, changing the last ulp vs NumPy for
+    # ~28% of candidates — bit parity of similarities is the product
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fopenmp", _SRC, "-o", tmp,
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+        "-shared", "-fPIC", "-fopenmp", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)

@@ -122,7 +122,9 @@ def replay_group(
     max_matches with the reference's WARN semantics.
     """
     lib = load()
-    T, n_h, n_w = bank.shape
+    _, n_h, n_w = bank.shape
+    T = len(starts)  # needles to replay (callers may slice off suspects)
+    assert len(ends) == T and len(bank) >= T
     inv = np.ascontiguousarray(inv)
     widx = np.ascontiguousarray(widx, dtype=np.int32)
     wval = np.ascontiguousarray(wval, dtype=np.uint32)

@@ -147,3 +147,61 @@ def test_native_replay_matches_numpy_replay(mono_font_path):
     ]
     assert len(with_native) > 0
     assert key(with_native) == key(without)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("capw,max_matches", [(32768, 2), (96, 1024)])
+def test_native_replay_cap_warn_and_overflow(mono_font_path, monkeypatch, capw, max_matches):
+    """Dense low-threshold page under (a) a tiny MAX_MATCHES (exercises the
+    scan-order truncation + WARN emission) and (b) a small global word cap
+    (exercises native-replay/host-fallback coexistence): results must stay
+    bit-identical to the NumPy replay."""
+    import numpy as np
+    import pytest
+
+    from focr_tpu.native import ncc_cpu
+    import focr_tpu.models.ncc as ncc_mod
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    if not ncc_cpu.available():
+        pytest.skip("native toolchain unavailable")
+    monkeypatch.setattr(ncc_mod, "MAX_MATCHES", max_matches)
+    monkeypatch.setattr(ncc_mod, "_CAPW", capw)
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    page = synthesize_page(face, ["ABABAB", "BABABA"], dopts, ropts, "AB", (64, 128))
+    m = NccMatcher(face, "AB", ropts, x_bits=1, threshold=0.1,
+                   device_kernel="pallas")
+    with_native, err_a = _run_capture(m, page)
+    import focr_tpu.native.ncc_cpu as mod
+    orig = mod.available
+    try:
+        mod.available = lambda: False
+        without, err_b = _run_capture(m, page)
+    finally:
+        mod.available = orig
+    key = lambda hs: [
+        (h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs
+    ]
+    assert len(with_native) > 0
+    assert key(with_native) == key(without)
+    assert err_a.count("WARN") == err_b.count("WARN")
+    if max_matches == 2:
+        assert err_a.count("WARN") > 0
+
+
+def _run_capture(m, page):
+    import contextlib
+    import io
+    import sys
+
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        hits = m.get_hits(page)
+    return hits, buf.getvalue()
