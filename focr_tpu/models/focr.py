@@ -193,7 +193,9 @@ class GridDecoder:
             try:
                 for grp in _row_groups(dopts, H):
                     bank = build_prop_bank(face, alphabet, ropts, grp.crop_h)
-                    self.prop_groups.append((grp, PropDecoder(bank, self.crop_w)))
+                    self.prop_groups.append(
+                        (grp, PropDecoder(bank, self.crop_w, mesh=self.mesh))
+                    )
             except ValueError:  # non-positive advance: host oracle fallback
                 self.prop_groups = []
 

@@ -107,17 +107,41 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
 
 
 class PropDecoder:
-    """Device-side sequential decoder for one (crop_h, crop_w) line shape."""
+    """Device-side sequential decoder for one (crop_h, crop_w) line shape.
 
-    def __init__(self, bank: PropBank, crop_w: int):
+    With a mesh, the line batch shards across every device (each line's scan
+    is independent, so this is pure data parallelism over the L axis); white
+    padding lines decode to junk that the caller's white-mask discards."""
+
+    def __init__(self, bank: PropBank, crop_w: int, mesh=None):
         self.bank = bank
         self.crop_w = crop_w
         self.n_steps = max_steps(bank, crop_w)
-        self._fn = jax.jit(make_prop_forward(bank, crop_w, self.n_steps))
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        fwd = make_prop_forward(bank, crop_w, self.n_steps)
+        if self.mesh is not None:
+            from focr_tpu.parallel.mesh import pages_sharding
+
+            sharding = pages_sharding(self.mesh)
+
+            def sharded(strips):
+                strips = jax.lax.with_sharding_constraint(strips, sharding)
+                return fwd(strips)
+
+            self._fn = jax.jit(sharded)
+        else:
+            self._fn = jax.jit(fwd)
 
     def decode_lines(self, strips: np.ndarray) -> list[str]:
         """strips: [L, crop_h, crop_w] INVERTED line crops -> decoded texts."""
-        ids = np.asarray(self._fn(jnp.asarray(strips)))  # [L, n_steps]
+        L = strips.shape[0]
+        if self.mesh is not None:
+            pad = (-L) % self.mesh.size
+            if pad:
+                strips = np.concatenate(
+                    [strips, np.zeros((pad, *strips.shape[1:]), strips.dtype)]
+                )
+        ids = np.asarray(self._fn(jnp.asarray(strips)))[:L]  # [L, n_steps]
         alphabet = self.bank.alphabet
         out = []
         for row in ids:

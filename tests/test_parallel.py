@@ -212,3 +212,39 @@ def test_ncc_cli_mesh_auto(mono_font_path, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out.splitlines()
     assert out == ["AB01ab", "ba10BA"]
+
+
+def test_prop_decoder_mesh_parity(sans_font_path):
+    """Proportional-font sequential decode sharded over the 8-dev mesh must
+    equal the single-chip decode exactly (lines are pure DP; padding lines
+    are trimmed)."""
+    import numpy as np
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.focr import GridDecoder
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+    from focr_tpu.parallel.mesh import page_mesh
+
+    face = Face(sans_font_path)
+    alpha = "AWim01"
+    ropts = RenderOptions(size=12.0)
+    dopts = DecodeOptions(x_start=4, y_start=5, line_height=16, line_advance=19, width=110)
+    shape = (65, 130)
+    rng = np.random.default_rng(11)
+    pages = np.stack([
+        synthesize_page(
+            face,
+            ["".join(rng.choice(list(alpha), size=7)) for _ in range(3)],
+            dopts, ropts, alpha, shape,
+        )
+        for _ in range(3)  # 3 pages x 3 rows = 9 lines (not a multiple of 8)
+    ])
+    single = GridDecoder(face, alpha, dopts, ropts, shape)
+    sharded = GridDecoder(face, alpha, dopts, ropts, shape, mesh=page_mesh())
+    assert sharded.prop_groups and sharded.prop_groups[0][1].mesh is not None
+    a = single.decode_batch(pages)
+    b = sharded.decode_batch(pages)
+    assert [[(l.text, l.y) for l in p] for p in a] == [
+        [(l.text, l.y) for l in p] for p in b
+    ]
