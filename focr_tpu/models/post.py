@@ -125,45 +125,58 @@ def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[
     order = np.argsort(y, kind="stable")
     y, x, sim, nid = y[order], x[order], sim[order], nid[order]
     bounds = np.flatnonzero(np.diff(y)) + 1
-    starts = np.concatenate([[0], bounds, [len(y)]])
+    starts = np.concatenate([[0], bounds, [len(y)]]).astype(np.int64)
+    N = len(y)
+    line_of = np.searchsorted(starts, np.arange(N), side="right") - 1
+
+    # stable per-line x-sort without a per-line loop: a composite key offsets
+    # each line's x range past the previous line's (gap > overlap keeps run
+    # jumps from ever crossing a line boundary below)
+    span = int(x.max()) + abs(int(overlap)) + 2 if N else 1
+    xkey = line_of * span + x
+    xo = np.argsort(xkey, kind="stable")
+    lx, lxkey, lsim, lnid, lyy = x[xo], xkey[xo], sim[xo], nid[xo], y[xo]
+
+    # run partition anchored at each run's FIRST element (partition_by
+    # semantics): jump pointers nxt[i] = end of a run starting at i, in one
+    # vectorized searchsorted over the composite key. A run always contains
+    # its anchor, so nxt >= i+1 — also what partition_by yields for negative
+    # overlap (every hit its own run), where a raw searchsorted would return
+    # nxt <= i and loop forever.
+    nxt = np.maximum(
+        np.searchsorted(lxkey, lxkey + overlap, side="right"),
+        np.arange(1, N + 1),
+    )
+    run_starts = []
+    r = 0
+    while r < N:
+        run_starts.append(r)
+        r = int(nxt[r])
+    rs = np.array(run_starts, dtype=np.int64)
+    # last max per run: max value via reduceat, then the LAST index
+    # attaining it (Rust max_by keeps the last maximal element)
+    run_max = np.maximum.reduceat(lsim, rs) if len(rs) else np.zeros(0, np.float32)
+    run_of = np.searchsorted(rs, np.arange(N), side="right") - 1
+    at_max = lsim == run_max[run_of]
+    widx = (
+        np.maximum.reduceat(np.where(at_max, np.arange(N), -1), rs)
+        if len(rs)
+        else np.zeros(0, np.int64)
+    )
 
     needles = hs.matcher.needles
     lines: list[list[MatchWithLetter]] = []
-    for li in range(len(starts) - 1):
-        i, j = int(starts[li]), int(starts[li + 1])
-        xo = np.argsort(x[i:j], kind="stable") + i
-        lx, lsim, lnid, lyy = x[xo], sim[xo], nid[xo], y[xo]
-        L = len(lx)
-        # run partition anchored at each run's FIRST element (partition_by
-        # semantics): jump pointers nxt[i] = end of a run starting at i,
-        # computed for every i in one vectorized searchsorted. A run always
-        # contains its anchor, so nxt >= i+1 — also what partition_by yields
-        # for negative overlap (every hit its own run), where a raw
-        # searchsorted would return nxt <= i and loop forever.
-        nxt = np.maximum(
-            np.searchsorted(lx, lx + overlap, side="right"),
-            np.arange(1, L + 1),
-        )
-        run_starts = []
-        r = 0
-        while r < L:
-            run_starts.append(r)
-            r = int(nxt[r])
-        rs = np.array(run_starts, dtype=np.int64)
-        # last max per run: max value via reduceat, then the LAST index
-        # attaining it (Rust max_by keeps the last maximal element)
-        run_max = np.maximum.reduceat(lsim, rs)
-        run_of = np.searchsorted(rs, np.arange(L), side="right") - 1
-        at_max = lsim == run_max[run_of]
-        widx = np.maximum.reduceat(np.where(at_max, np.arange(L), -1), rs)
-        dedup = []
-        for w in widx:
-            nd = needles[lnid[w]]
-            nh_, nw_ = nd.pixels.shape
-            dedup.append(
-                MatchWithLetter(
-                    nd.letter, int(lx[w]), int(lyy[w]), nw_, nh_, float(lsim[w])
-                )
+    win_line = line_of[xo][widx] if len(widx) else np.zeros(0, np.int64)
+    cur = -1
+    for w, li in zip(widx, win_line):
+        if li != cur:
+            lines.append([])
+            cur = li
+        nd = needles[lnid[w]]
+        nh_, nw_ = nd.pixels.shape
+        lines[-1].append(
+            MatchWithLetter(
+                nd.letter, int(lx[w]), int(lyy[w]), nw_, nh_, float(lsim[w])
             )
-        lines.append(dedup)
+        )
     return lines
