@@ -110,38 +110,38 @@ class PropDecoder:
     """Device-side sequential decoder for one (crop_h, crop_w) line shape.
 
     With a mesh, the line batch shards across every device (each line's scan
-    is independent, so this is pure data parallelism over the L axis); white
-    padding lines decode to junk that the caller's white-mask discards."""
+    is independent, so this is pure data parallelism over the L axis);
+    padding lines added for divisibility decode to junk that the [:L] trim
+    below discards before any caller sees it."""
 
     def __init__(self, bank: PropBank, crop_w: int, mesh=None):
         self.bank = bank
         self.crop_w = crop_w
         self.n_steps = max_steps(bank, crop_w)
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
-        fwd = make_prop_forward(bank, crop_w, self.n_steps)
-        if self.mesh is not None:
-            from focr_tpu.parallel.mesh import pages_sharding
-
-            sharding = pages_sharding(self.mesh)
-
-            def sharded(strips):
-                strips = jax.lax.with_sharding_constraint(strips, sharding)
-                return fwd(strips)
-
-            self._fn = jax.jit(sharded)
-        else:
-            self._fn = jax.jit(fwd)
+        self._fn = jax.jit(make_prop_forward(bank, crop_w, self.n_steps))
 
     def decode_lines(self, strips: np.ndarray) -> list[str]:
         """strips: [L, crop_h, crop_w] INVERTED line crops -> decoded texts."""
         L = strips.shape[0]
         if self.mesh is not None:
+            # explicit sharded upload (same pattern as GridDecoder._dispatch):
+            # the batch lands pre-split across devices instead of relying on
+            # constraint propagation from one chip, and it is the form that
+            # works on multi-host meshes
+            from focr_tpu.parallel.mesh import pages_sharding
+
             pad = (-L) % self.mesh.size
             if pad:
                 strips = np.concatenate(
                     [strips, np.zeros((pad, *strips.shape[1:]), strips.dtype)]
                 )
-        ids = np.asarray(self._fn(jnp.asarray(strips)))[:L]  # [L, n_steps]
+            strips_j = jax.device_put(
+                jnp.asarray(strips), pages_sharding(self.mesh)
+            )
+        else:
+            strips_j = jnp.asarray(strips)
+        ids = np.asarray(self._fn(strips_j))[:L]  # [L, n_steps]
         alphabet = self.bank.alphabet
         out = []
         for row in ids:
