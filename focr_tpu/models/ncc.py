@@ -49,7 +49,13 @@ def ncc_ops_pallas_call(inv_j, grp, thr_f32, capw: int):
     )
 
 _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA path
-_CAPW = 32768  # GLOBAL nonzero-word capacity for the Pallas path (256KB fetch)
+# GLOBAL nonzero-word capacity for the Pallas path. Device time is capw-
+# insensitive, but the result fetch is capw-sized and per-page: start small
+# (typical corpora need a few hundred words), auto-bump a group to the max
+# on its first overflow (one exact device re-dispatch), and remember the
+# bumped size for subsequent pages.
+_CAPW_START = 4096  # 32KB fetch
+_CAPW_MAX = 32768  # 256KB fetch
 
 _EMPTY = (
     np.zeros(0, np.int64),
@@ -226,6 +232,7 @@ class NccMatcher:
             device_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         assert device_kernel in ("pallas", "xla")
         self.device_kernel = device_kernel
+        self._capw: dict[tuple[int, int], int] = {}  # (nh, nw) -> current capw
 
     def get_hits(
         self,
@@ -349,7 +356,8 @@ class NccMatcher:
             if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
                 H, W, grp.nw, grp.nh, self.threshold
             ):
-                outs = ncc_ops_pallas_call(inv_j, grp, thr_f32, capw=_CAPW)
+                capw = self._capw.get((grp.nh, grp.nw), _CAPW_START)
+                outs = ncc_ops_pallas_call(inv_j, grp, thr_f32, capw=capw)
                 plan.append((grp, "pallas", outs))
                 continue
             outs = ncc_ops.ncc_candidates(
@@ -560,9 +568,20 @@ class NccMatcher:
         page, oracle_searcher, verbose, H, W, elapsed,
     ):
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
+        import jax
+
         n = grp.nh * grp.nw
         widx, wval, counts, nzw = (np.asarray(o) for o in outs)
         inv32, inv32_sq, inv_u8 = tables
+        if int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX:
+            # word-cap overflow below the ceiling: bump this group's capw for
+            # all future pages and re-dispatch THIS page once at the max (an
+            # exact device redo beats per-needle host fallbacks)
+            self._capw[(grp.nh, grp.nw)] = _CAPW_MAX
+            redo = ncc_ops_pallas_call(
+                jnp.asarray(inv_u8), grp, thr_f32, capw=_CAPW_MAX
+            )
+            widx, wval, counts, nzw = jax.device_get(redo)
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
         wins = np.lib.stride_tricks.sliding_window_view(inv32, (grp.nh, grp.nw))

@@ -171,7 +171,8 @@ def test_native_replay_cap_warn_and_overflow(mono_font_path, monkeypatch, capw, 
     if not ncc_cpu.available():
         pytest.skip("native toolchain unavailable")
     monkeypatch.setattr(ncc_mod, "MAX_MATCHES", max_matches)
-    monkeypatch.setattr(ncc_mod, "_CAPW", capw)
+    monkeypatch.setattr(ncc_mod, "_CAPW_START", capw)
+    monkeypatch.setattr(ncc_mod, "_CAPW_MAX", capw)
     face = Face(mono_font_path)
     ropts = RenderOptions(size=11.0)
     dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)

@@ -109,7 +109,8 @@ def test_pallas_global_cap_overflow_falls_back(mono_font_path, monkeypatch):
     from focr_tpu.models.ncc import NccMatcher
     from focr_tpu.models.types import DecodeOptions, RenderOptions
 
-    monkeypatch.setattr(ncc_mod, "_CAPW", 2)  # force overflow
+    monkeypatch.setattr(ncc_mod, "_CAPW_START", 2)  # force overflow
+    monkeypatch.setattr(ncc_mod, "_CAPW_MAX", 2)  # ...with no redo headroom
     fallbacks = []
     orig = ncc_mod._host_searcher
 
@@ -129,3 +130,27 @@ def test_pallas_global_cap_overflow_falls_back(mono_font_path, monkeypatch):
     assert len(hp) > 0
     key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
     assert key(hp) == key(ho)
+
+
+def test_pallas_capw_bump_redo(mono_font_path, monkeypatch):
+    """A word-cap overflow below the ceiling re-dispatches once at the max
+    and remembers the bump — results identical to the oracle, and the
+    matcher's next dispatch uses the larger cap directly."""
+    import focr_tpu.models.ncc as ncc_mod
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    monkeypatch.setattr(ncc_mod, "_CAPW_START", 2)  # overflows immediately
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    page = synthesize_page(face, ["ABABAB", "ababab"], dopts, ropts, "ABab", (64, 128))
+    m = NccMatcher(face, "ABab", ropts, threshold=0.5, device_kernel="pallas")
+    hp = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
+    assert key(hp) == key(ho)
+    assert set(m._capw.values()) == {ncc_mod._CAPW_MAX}  # bump remembered
+    assert key(m.get_hits(page)) == key(ho)  # second pass: big cap directly
