@@ -312,6 +312,23 @@ class GridDecoder:
         return out
 
 
+_DECODER_CACHE: dict[tuple, GridDecoder] = {}
+
+
+def _cached_decoder(face, alphabet, dopts, ropts, shape, mesh) -> GridDecoder:
+    """Reuse GridDecoders across decode_pages calls: a fresh instance would
+    re-trace its jitted closures (and re-pay a compile round trip off-chip)
+    even though the template banks are disk-cached."""
+    key = (face.path, alphabet, dopts, ropts, shape, id(mesh) if mesh else None)
+    dec = _DECODER_CACHE.get(key)
+    if dec is None:
+        dec = GridDecoder(face, alphabet, dopts, ropts, shape, mesh=mesh)
+        if len(_DECODER_CACHE) > 16:  # bound jit-closure retention
+            _DECODER_CACHE.clear()
+        _DECODER_CACHE[key] = dec
+    return dec
+
+
 def decode_pages(
     pages: list[np.ndarray],
     face: Face,
@@ -330,7 +347,7 @@ def decode_pages(
 
     results: list[list[DecodedLine] | None] = [None] * len(pages)
     for bucket in bucket_pages(pages):
-        dec = GridDecoder(face, alphabet, dopts, ropts, bucket.shape, mesh=mesh)
+        dec = _cached_decoder(face, alphabet, dopts, ropts, bucket.shape, mesh)
         arr = bucket.pages
         for s, decoded in decode_stream(dec, arr, batch_size):
             for j, lines in enumerate(decoded):

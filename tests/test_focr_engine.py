@@ -88,3 +88,30 @@ def test_decode_pages_multi_shape(mono):
     assert [l.text for l in res[0]] == ["Hello"]
     assert [l.text for l in res[1]] == ["world"]
     assert [l.text for l in res[2]] == ["again"]
+
+
+def test_decode_pages_reuses_decoders(mono_font_path):
+    """Repeated decode_pages calls with the same config must reuse the cached
+    GridDecoder (no re-tracing), and different configs must not collide."""
+    import numpy as np
+
+    import focr_tpu.models.focr as focr_mod
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.focr import decode_pages
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    page = synthesize_page(face, ["AB01"], dopts, ropts, "AB01ab", (64, 128))
+    focr_mod._DECODER_CACHE.clear()
+    a = decode_pages([page], face, "AB01ab", dopts, ropts)
+    n_after_first = len(focr_mod._DECODER_CACHE)
+    b = decode_pages([page], face, "AB01ab", dopts, ropts)
+    assert len(focr_mod._DECODER_CACHE) == n_after_first  # reused, not rebuilt
+    assert [(l.text, l.y) for l in a[0]] == [(l.text, l.y) for l in b[0]]
+    # a different grid gets its own decoder
+    d2 = DecodeOptions(x_start=4, y_start=6, line_height=13, line_advance=15, width=110)
+    decode_pages([page], face, "AB01ab", d2, ropts)
+    assert len(focr_mod._DECODER_CACHE) == n_after_first + 1
