@@ -97,13 +97,9 @@ def main(argv: list[str] | None = None) -> int:
 
     mesh = None
     if args.mesh == "auto":
-        import jax
+        from focr_tpu.parallel.mesh import auto_mesh
 
-        from focr_tpu.parallel.mesh import maybe_init_distributed, page_mesh
-
-        maybe_init_distributed()
-        if jax.device_count() > 1:
-            mesh = page_mesh(glyph_shards=args.glyph_shards)
+        mesh = auto_mesh(glyph_shards=args.glyph_shards)
 
     with metrics_run(args.profile) as mrun:
         good_results = decode_pages(

@@ -138,13 +138,9 @@ def main(argv: list[str] | None = None) -> int:
 
     mesh = None
     if args.mesh == "auto" and engine == "device":
-        import jax
+        from focr_tpu.parallel.mesh import auto_mesh
 
-        from focr_tpu.parallel.mesh import maybe_init_distributed, page_mesh
-
-        maybe_init_distributed()
-        if jax.device_count() > 1:
-            mesh = page_mesh(glyph_shards=1)
+        mesh = auto_mesh()
 
     # the array-form (struct) pipeline skips per-hit object creation; verbose
     # diagnostics need the object form (per-hit dumps)

@@ -20,6 +20,7 @@ import sys
 import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,8 +34,6 @@ from focr_tpu.ops import pallas_ncc
 def ncc_ops_pallas_call(inv_j, grp, thr_f32, capw: int):
     """Invoke the Pallas bitmask kernel for one size group (interpret mode
     off-TPU so CPU CI exercises the same code path)."""
-    import jax
-
     interpret = jax.default_backend() != "tpu"
     return pallas_ncc.ncc_candidates_pallas(
         inv_j,
@@ -115,8 +114,6 @@ def _fetch_plans_many(dispatched: list) -> list:
     device_get issues async copy_to_host for all leaves before blocking, so
     the whole corpus costs one transfer round trip instead of one per array —
     per-fetch latency (not bandwidth) dominates off-chip."""
-    import jax
-
     all_outs = jax.device_get(
         [[o for _, _, o in plan if o is not None] for _, _, plan, _ in dispatched]
     )
@@ -227,8 +224,6 @@ class NccMatcher:
             # dense similarity plane in HBM. XLA remains the fallback for
             # configs pallas_supported() rejects and for non-TPU backends
             # (interpret-mode Pallas is test-only).
-            import jax
-
             device_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         assert device_kernel in ("pallas", "xla")
         self.device_kernel = device_kernel
@@ -319,8 +314,6 @@ class NccMatcher:
                 mesh, grp.bank, grp.s_n, grp.s2_n, self.threshold, cap=_CAP
             )
             group_outs.append((grp, "xla", fn(inv_j)))
-
-        import jax
 
         fetched = jax.device_get(
             [o for _, k, o in group_outs if o is not None]
@@ -474,13 +467,9 @@ class NccMatcher:
         if verbose:
             print(f"overall {(time.perf_counter() - t00) * 1000.0:.4f}ms", file=sys.stderr)
             print(f"hits: {n_hits}", file=sys.stderr)
-            counts_by_letter: dict[str, int] = {}
-            for i, arrs in parts:
-                if len(arrs[0]):
-                    letter = self.needles[i].letter
-                    counts_by_letter[letter] = counts_by_letter.get(letter, 0) + len(arrs[0])
-            for letter, count in sorted(counts_by_letter.items(), key=lambda kv: (kv[1], kv[0])):
-                print(f"`{letter}` {count}", file=sys.stderr)
+            _print_count_table(
+                (self.needles[i].letter, len(arrs[0])) for i, arrs in parts
+            )
         if struct:
             return self._make_struct(parts)
         all_hits: list[MatchWithLetter] = []
@@ -568,8 +557,6 @@ class NccMatcher:
         page, oracle_searcher, verbose, H, W, elapsed,
     ):
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
-        import jax
-
         n = grp.nh * grp.nw
         widx, wval, counts, nzw = (np.asarray(o) for o in outs)
         inv32, inv32_sq, inv_u8 = tables
@@ -790,11 +777,17 @@ class NccMatcher:
 
 
 def _print_char_counts(all_hits: list[MatchWithLetter]) -> None:
-    """Per-char hit totals, sorted by (count, char), zeros skipped
+    """Per-char hit totals from hit objects (ncc.rs:709-718)."""
+    _print_count_table((h.letter, 1) for h in all_hits)
+
+
+def _print_count_table(letter_counts) -> None:
+    """Per-char totals, sorted by (count, char), zeros skipped
     (ncc.rs:709-718)."""
     counts: dict[str, int] = {}
-    for h in all_hits:
-        counts[h.letter] = counts.get(h.letter, 0) + 1
+    for letter, k in letter_counts:
+        if k:
+            counts[letter] = counts.get(letter, 0) + k
     for letter, count in sorted(counts.items(), key=lambda kv: (kv[1], kv[0])):
         print(f"`{letter}` {count}", file=sys.stderr)
 

@@ -48,6 +48,16 @@ def pages_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P((PAGES_AXIS, GLYPHS_AXIS)))
 
 
+def auto_mesh(glyph_shards: int = 1) -> Mesh | None:
+    """The CLIs' --mesh auto policy: bring up multi-host if configured, then
+    return the all-devices mesh when more than one device is visible (None =
+    single-chip path, identical results)."""
+    maybe_init_distributed()
+    if jax.device_count() > 1:
+        return page_mesh(glyph_shards=glyph_shards)
+    return None
+
+
 def maybe_init_distributed() -> bool:
     """Multi-host bring-up (SURVEY.md §5.8): call jax.distributed.initialize
     when a coordinator is configured, so page batches shard across hosts (DCN)
