@@ -20,19 +20,32 @@ import jax as _jax
 # explicitly f32/bf16 — no f64 ever reaches the TPU.
 _jax.config.update("jax_enable_x64", True)
 
-# Persistent XLA compilation cache: first-compile latency through the remote
-# TPU backend is high and highly variable (seconds to minutes); caching makes
-# every CLI invocation after the first start instantly. Opt out with
-# FOCR_TPU_NO_COMPILE_CACHE=1. Never enabled for forced-CPU runs: CPU AOT
-# artifacts bake in the compiling host's -march features, and loading them on
-# a different machine risks SIGILL (tests/dryrun set JAX_PLATFORMS=cpu).
-if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
-    _os.environ.setdefault("FOCR_TPU_NO_COMPILE_CACHE", "1")
-if not _os.environ.get("FOCR_TPU_NO_COMPILE_CACHE"):
+_compile_cache_decided = False
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: first-compile latency through the
+    remote TPU backend is high and highly variable (seconds to minutes);
+    caching makes every CLI invocation after the first start instantly.
+
+    Called lazily by the compiling entry points (GridDecoder / NccMatcher /
+    PropDecoder constructors) so importing the package never forces backend
+    initialization. Opt out with FOCR_TPU_NO_COMPILE_CACHE=1. Never enabled
+    when the RESOLVED backend is CPU (not just when JAX_PLATFORMS says so):
+    CPU AOT artifacts bake in the compiling host's -march features, and
+    loading them on a different machine — e.g. via an NFS home dir — risks
+    SIGILL."""
+    global _compile_cache_decided
+    if _compile_cache_decided or _os.environ.get("FOCR_TPU_NO_COMPILE_CACHE"):
+        return
+    _compile_cache_decided = True
+    if _jax.default_backend() == "cpu":
+        return
     _cache = _os.environ.get(
         "FOCR_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/focr_tpu_xla")
     )
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 __version__ = "0.1.0"

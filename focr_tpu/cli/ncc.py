@@ -107,8 +107,9 @@ def main(argv: list[str] | None = None) -> int:
         for nd in matcher.needles:
             x = int(nd.offset[0] * 1000.0)
             y = int(nd.offset[1] * 1000.0)
-            inv = (255 - nd.pixels.astype(np.int32)).astype(np.uint8)
-            save_gray(f"letters/{nd.letter}-{x}_{y}.png", inv)
+            # the reference dumps the RAW white-on-black canvas: canvas_to_lum8
+            # (ncc.rs:645 -> ncc.rs:917-923) copies pixels without inverting
+            save_gray(f"letters/{nd.letter}-{x}_{y}.png", nd.pixels)
 
     engine = args.engine or ("oracle" if args.rust else "device")
     get = {

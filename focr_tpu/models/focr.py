@@ -21,6 +21,7 @@ fallback for degenerate metrics (non-positive advances).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import jax
@@ -139,6 +140,9 @@ class GridDecoder:
         """mesh: optional jax.sharding.Mesh with a 'pages' (and optionally
         'glyphs') axis — shards the batch across chips (parallel/decode.py).
         None = single-chip jit (identical results either way)."""
+        import focr_tpu
+
+        focr_tpu.enable_compile_cache()
         self.face = face
         self.alphabet = alphabet
         self.dopts = dopts
@@ -312,20 +316,24 @@ class GridDecoder:
         return out
 
 
-_DECODER_CACHE: dict[tuple, GridDecoder] = {}
+_DECODER_CACHE: OrderedDict[tuple, GridDecoder] = OrderedDict()
+_DECODER_CACHE_MAX = 16
 
 
 def _cached_decoder(face, alphabet, dopts, ropts, shape, mesh) -> GridDecoder:
     """Reuse GridDecoders across decode_pages calls: a fresh instance would
     re-trace its jitted closures (and re-pay a compile round trip off-chip)
-    even though the template banks are disk-cached."""
+    even though the template banks are disk-cached. LRU-evicted so a
+    mixed-shape corpus never drops its hot (dominant-bucket) decoder."""
     key = (face.path, alphabet, dopts, ropts, shape, id(mesh) if mesh else None)
     dec = _DECODER_CACHE.get(key)
     if dec is None:
         dec = GridDecoder(face, alphabet, dopts, ropts, shape, mesh=mesh)
-        if len(_DECODER_CACHE) > 16:  # bound jit-closure retention
-            _DECODER_CACHE.clear()
+        while len(_DECODER_CACHE) >= _DECODER_CACHE_MAX:
+            _DECODER_CACHE.popitem(last=False)  # evict least recently used
         _DECODER_CACHE[key] = dec
+    else:
+        _DECODER_CACHE.move_to_end(key)
     return dec
 
 

@@ -115,6 +115,9 @@ class PropDecoder:
     below discards before any caller sees it."""
 
     def __init__(self, bank: PropBank, crop_w: int, mesh=None):
+        import focr_tpu
+
+        focr_tpu.enable_compile_cache()
         self.bank = bank
         self.crop_w = crop_w
         self.n_steps = max_steps(bank, crop_w)

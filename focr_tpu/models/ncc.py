@@ -31,16 +31,18 @@ from focr_tpu.ops import ncc as ncc_ops
 from focr_tpu.ops import pallas_ncc
 
 
-def ncc_ops_pallas_call(inv_j, grp, thr_f32, capw: int):
+def ncc_ops_pallas_call(inv_j, grp, dev, capw: int):
     """Invoke the Pallas bitmask kernel for one size group (interpret mode
-    off-TPU so CPU CI exercises the same code path)."""
+    off-TPU so CPU CI exercises the same code path). ``dev`` is the group's
+    cached device-resident (bank, s_n, s2_n, threshold) tuple."""
     interpret = jax.default_backend() != "tpu"
+    bank_j, s_n_j, s2_n_j, thr_j = dev
     return pallas_ncc.ncc_candidates_pallas(
         inv_j,
-        jnp.asarray(grp.bank),
-        jnp.asarray(grp.s_n),
-        jnp.asarray(grp.s2_n),
-        jnp.asarray(thr_f32),
+        bank_j,
+        s_n_j,
+        s2_n_j,
+        thr_j,
         nw=grp.nw,
         nh=grp.nh,
         capw=capw,
@@ -211,6 +213,9 @@ class NccMatcher:
         threshold: float = 0.8,
         device_kernel: str = "auto",
     ):
+        import focr_tpu
+
+        focr_tpu.enable_compile_cache()
         self.face = face
         self.alphabet = alphabet
         self.ropts = ropts
@@ -228,6 +233,25 @@ class NccMatcher:
         assert device_kernel in ("pallas", "xla")
         self.device_kernel = device_kernel
         self._capw: dict[tuple[int, int], int] = {}  # (nh, nw) -> current capw
+        # device-resident per-group constants (bank, s_n, s2_n, threshold):
+        # uploaded once, reused for every page (re-uploading per page costs a
+        # host->device round trip per group on the remote transport)
+        self._dev_groups: list[tuple] | None = None
+        self._sharded_fns: dict[tuple, object] = {}  # (mesh id, group idx) -> fn
+
+    def _device_groups(self) -> list[tuple]:
+        if self._dev_groups is None:
+            thr_j = jnp.asarray(np.float32(self.threshold))
+            self._dev_groups = [
+                (
+                    jnp.asarray(g.bank),
+                    jnp.asarray(g.s_n),
+                    jnp.asarray(g.s2_n),
+                    thr_j,
+                )
+                for g in self.groups
+            ]
+        return self._dev_groups
 
     def get_hits(
         self,
@@ -306,13 +330,18 @@ class NccMatcher:
         inv_j = jnp.asarray(inv_p)
 
         group_outs: list[tuple[_Group, str, object]] = []
-        for grp in self.groups:
+        for gi, grp in enumerate(self.groups):
             if grp.nh >= H or grp.nw >= W:
                 group_outs.append((grp, "empty", None))
                 continue
-            fn = make_sharded_ncc_fn(
-                mesh, grp.bank, grp.s_n, grp.s2_n, self.threshold, cap=_CAP
-            )
+            # memoized per (mesh, group): a fresh @jax.jit closure per call
+            # would retrace/recompile on every corpus invocation
+            fn = self._sharded_fns.get((id(mesh), gi))
+            if fn is None:
+                fn = make_sharded_ncc_fn(
+                    mesh, grp.bank, grp.s_n, grp.s2_n, self.threshold, cap=_CAP
+                )
+                self._sharded_fns[(id(mesh), gi)] = fn
             group_outs.append((grp, "xla", fn(inv_j)))
 
         fetched = jax.device_get(
@@ -340,9 +369,8 @@ class NccMatcher:
         H, W = page.shape
         inv = (255 - page.astype(np.int32)).astype(np.uint8)
         inv_j = jnp.asarray(inv)
-        thr_f32 = np.float32(self.threshold)
         plan: list[tuple[_Group, str, object]] = []
-        for grp in self.groups:
+        for grp, dev in zip(self.groups, self._device_groups()):
             if grp.nh >= H or grp.nw >= W:
                 plan.append((grp, "empty", None))
                 continue
@@ -350,15 +378,16 @@ class NccMatcher:
                 H, W, grp.nw, grp.nh, self.threshold
             ):
                 capw = self._capw.get((grp.nh, grp.nw), _CAPW_START)
-                outs = ncc_ops_pallas_call(inv_j, grp, thr_f32, capw=capw)
+                outs = ncc_ops_pallas_call(inv_j, grp, dev, capw=capw)
                 plan.append((grp, "pallas", outs))
                 continue
+            bank_j, s_n_j, s2_n_j, thr_j = dev
             outs = ncc_ops.ncc_candidates(
                 inv_j,
-                jnp.asarray(grp.bank),
-                jnp.asarray(grp.s_n),
-                jnp.asarray(grp.s2_n),
-                jnp.asarray(thr_f32),
+                bank_j,
+                s_n_j,
+                s2_n_j,
+                thr_j,
                 nw=grp.nw,
                 nh=grp.nh,
                 cap=_CAP,
@@ -385,6 +414,7 @@ class NccMatcher:
         # MatchWithLetter objects are built only at the API boundary (a dense
         # page has ~26k hits: building objects per hit dominates host time)
         per_needle: dict[int, tuple] = {}
+        needle_s: dict[int, float] = {}  # attributed per-search seconds
         t00 = t_dispatch  # the reference's "overall" span starts at get_hits
         oracle_searcher = None
         tables = None  # (inv_i32, inv_i32², inv_u8) pixel planes for replay
@@ -393,13 +423,16 @@ class NccMatcher:
             if kind == "empty":
                 for i in grp.needle_ids:
                     per_needle[i] = _EMPTY
+                    needle_s[i] = 0.0
                 continue
             elapsed = page_elapsed * len(grp.needle_ids) / total_searches
+            for i in grp.needle_ids:
+                needle_s[i] = elapsed / max(len(grp.needle_ids), 1)
             if kind == "pallas":
                 if tables is None:
                     tables = self._replay_tables(inv)
                 oracle_searcher = self._pallas_group(
-                    grp, outs, tables, thr_f32, thr_f64, per_needle,
+                    grp, outs, tables, thr_f64, per_needle,
                     page, oracle_searcher, verbose, H, W, elapsed,
                 )
                 continue
@@ -445,7 +478,8 @@ class NccMatcher:
                 ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
                 print(
                     f"[group {grp.nw}x{grp.nh}] {len(grp.needle_ids)} searches "
-                    f"~{per_search_ms:.2f}ms each ({ns_per_px:.2f} ns/pixel)",
+                    f"~{per_search_ms:.2f}ms each (estimated: page span attributed "
+                    f"evenly; {ns_per_px:.2f} ns/pixel)",
                     file=sys.stderr,
                 )
 
@@ -455,9 +489,15 @@ class NccMatcher:
         for i, nd in enumerate(self.needles):
             arrs = per_needle.get(i, _EMPTY)
             if verbose:
+                # per-search line in the reference's format (ncc.rs:657-666);
+                # device work is async so the elapsed fields carry the page
+                # span attributed evenly across searches (the group summary
+                # above flags the estimate)
+                s = needle_s.get(i, 0.0)
                 print(
                     f"`{nd.letter}` [{_f32_debug(nd.offset[0])}, {_f32_debug(nd.offset[1])}] "
-                    f"needle size {nd.pixels.shape[1]}x{nd.pixels.shape[0]} hits {len(arrs[0])}",
+                    f"needle size {nd.pixels.shape[1]}x{nd.pixels.shape[0]} hits {len(arrs[0])} "
+                    f"elapsed {int(s * 1000)}ms ({s * 1e9 / (W * H):.2f} ns/pixel)",
                     file=sys.stderr,
                 )
             if raw and out is not None:
@@ -553,7 +593,7 @@ class NccMatcher:
         return (inv32, inv32 * inv32, np.ascontiguousarray(inv))
 
     def _pallas_group(
-        self, grp, outs, tables, thr_f32, thr_f64, per_needle,
+        self, grp, outs, tables, thr_f64, per_needle,
         page, oracle_searcher, verbose, H, W, elapsed,
     ):
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
@@ -565,8 +605,9 @@ class NccMatcher:
             # all future pages and re-dispatch THIS page once at the max (an
             # exact device redo beats per-needle host fallbacks)
             self._capw[(grp.nh, grp.nw)] = _CAPW_MAX
+            dev = next(d for g, d in zip(self.groups, self._device_groups()) if g is grp)
             redo = ncc_ops_pallas_call(
-                jnp.asarray(inv_u8), grp, thr_f32, capw=_CAPW_MAX
+                jnp.asarray(inv_u8), grp, dev, capw=_CAPW_MAX
             )
             widx, wval, counts, nzw = jax.device_get(redo)
         WW = pallas_ncc.word_stride(W, grp.nw)
@@ -612,13 +653,20 @@ class NccMatcher:
             xs = (w_in % WW) * 32 + b
             if len(ys):
                 bank32 = grp.bank.astype(np.int32)
-                w_cand = wins[ys, xs]
-                acc = (w_cand * bank32[nid_c]).sum(axis=(1, 2), dtype=np.int32)
-                sp = w_cand.sum(axis=(1, 2), dtype=np.int32)
-                s2p = wins_sq[ys, xs].sum(axis=(1, 2), dtype=np.int32)
-                sim = exact_similarities(
-                    acc, sp, s2p, grp.s_n[nid_c], grp.s2_n[nid_c], n
-                )
+                sim = np.empty(len(ys), np.float64)
+                # chunked: the [chunk, nh, nw] i32 gathers are the peak host
+                # allocation (a dense page at capw=32768 can carry ~1M
+                # candidates; unchunked that is GB-scale transient memory)
+                CH = 65536
+                for c0 in range(0, len(ys), CH):
+                    sl = slice(c0, min(c0 + CH, len(ys)))
+                    w_cand = wins[ys[sl], xs[sl]]
+                    acc = (w_cand * bank32[nid_c[sl]]).sum(axis=(1, 2), dtype=np.int32)
+                    sp = w_cand.sum(axis=(1, 2), dtype=np.int32)
+                    s2p = wins_sq[ys[sl], xs[sl]].sum(axis=(1, 2), dtype=np.int32)
+                    sim[sl] = exact_similarities(
+                        acc, sp, s2p, grp.s_n[nid_c[sl]], grp.s2_n[nid_c[sl]], n
+                    )
             else:
                 sim = np.zeros(0, np.float64)
             cs = np.searchsorted(nid_c, np.arange(T))
@@ -662,7 +710,8 @@ class NccMatcher:
             ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
             print(
                 f"[pallas group {grp.nw}x{grp.nh}] {len(grp.needle_ids)} searches "
-                f"~{per_search_ms:.2f}ms each ({ns_per_px:.2f} ns/pixel)",
+                f"~{per_search_ms:.2f}ms each (estimated: page span attributed "
+                f"evenly; {ns_per_px:.2f} ns/pixel)",
                 file=sys.stderr,
             )
         return oracle_searcher
@@ -679,6 +728,7 @@ class NccMatcher:
         searcher = NativeSearcher(page)
         H, W = page.shape
         per_needle: dict[int, list[MatchWithLetter]] = {}
+        needle_s: dict[int, float] = {}  # measured group time, split evenly
         t00 = time.perf_counter()
         for grp in self.groups:
             if grp.nh >= H or grp.nw >= W:
@@ -690,6 +740,7 @@ class NccMatcher:
             elapsed = time.perf_counter() - t0
             for ti, i in enumerate(grp.needle_ids):
                 nd = self.needles[i]
+                needle_s[i] = elapsed / max(len(grp.needle_ids), 1)
                 per_needle[i] = [
                     MatchWithLetter(nd.letter, m.x, m.y, m.w, m.h, m.similarity)
                     for m in results[ti]
@@ -699,16 +750,19 @@ class NccMatcher:
                 ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
                 print(
                     f"[native group {grp.nw}x{grp.nh}] {len(grp.needle_ids)} searches "
-                    f"~{per_search_ms:.2f}ms each ({ns_per_px:.2f} ns/pixel)",
+                    f"~{per_search_ms:.2f}ms each (group-measured average; "
+                    f"{ns_per_px:.2f} ns/pixel)",
                     file=sys.stderr,
                 )
         all_hits: list[MatchWithLetter] = []
         for i, nd in enumerate(self.needles):
             hits = per_needle.get(i, [])
             if verbose:
+                s = needle_s.get(i, 0.0)
                 print(
                     f"`{nd.letter}` [{_f32_debug(nd.offset[0])}, {_f32_debug(nd.offset[1])}] "
-                    f"needle size {nd.pixels.shape[1]}x{nd.pixels.shape[0]} hits {len(hits)}",
+                    f"needle size {nd.pixels.shape[1]}x{nd.pixels.shape[0]} hits {len(hits)} "
+                    f"elapsed {int(s * 1000)}ms ({s * 1e9 / (W * H):.2f} ns/pixel)",
                     file=sys.stderr,
                 )
             if raw and out is not None:

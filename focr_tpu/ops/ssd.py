@@ -59,13 +59,32 @@ def extract_windows(strips: jax.Array, wx0: np.ndarray, win_w: int) -> jax.Array
     return jnp.stack(cells, axis=2)
 
 
-def _dot_brcpq_cgpq(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
-    """einsum('brcpq,cgpq->brcg') in bf16 with f32 accumulation."""
-    return jnp.einsum(
-        "brcpq,cgpq->brcg",
-        wins.astype(jnp.bfloat16),
-        tmpl.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+def _exact_dot(dot, wins: jax.Array, tmpl: jax.Array, n: int) -> jax.Array:
+    """Exact integer dot via bf16 matmuls (``dot(w, t) -> f32``), picking the
+    cheapest split whose every partial sum stays below 2^24 (exactly
+    representable in f32):
+      n*255*255 < 2^24 (n <= 258)    -> 1 matmul
+      n*255*15  < 2^24 (n <= 4385)   -> template nibble split, 2 matmuls
+      n*15*15   < 2^24 (n <= 74565)  -> both-operand nibble split, 4 matmuls
+    """
+    if n * 65025 < _EXACT_F32_LIMIT:
+        return dot(wins, tmpl).astype(jnp.int32)
+    ti = tmpl.astype(jnp.int32)
+    thi = jnp.right_shift(ti, 4)
+    tlo = jnp.bitwise_and(ti, 15)
+    if n * 3825 < _EXACT_F32_LIMIT:
+        return dot(wins, thi).astype(jnp.int32) * 16 + dot(wins, tlo).astype(jnp.int32)
+    assert n * 225 < _EXACT_F32_LIMIT, (
+        f"window of {n} pixels exceeds the exact-bf16 SSD bound (74565); "
+        "bit parity cannot be guaranteed"
+    )
+    wi = wins.astype(jnp.int32)
+    whi = jnp.right_shift(wi, 4)
+    wlo = jnp.bitwise_and(wi, 15)
+    return (
+        dot(whi, thi).astype(jnp.int32) * 256
+        + (dot(whi, tlo).astype(jnp.int32) + dot(wlo, thi).astype(jnp.int32)) * 16
+        + dot(wlo, tlo).astype(jnp.int32)
     )
 
 
@@ -76,40 +95,36 @@ def exact_corr(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
     tmpl: [C, G, p, q] u8 templates
     returns: [B, R, C, G] i32, exactly sum(I*T) per (cell, glyph)
     """
+
+    def dot(w, t):
+        return jnp.einsum(
+            "brcpq,cgpq->brcg",
+            w.astype(jnp.bfloat16),
+            t.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
     p, q = tmpl.shape[-2], tmpl.shape[-1]
-    n = p * q
-    if n * 65025 < _EXACT_F32_LIMIT:
-        return _dot_brcpq_cgpq(wins, tmpl).astype(jnp.int32)
-    hi = jnp.right_shift(tmpl.astype(jnp.int32), 4)
-    lo = jnp.bitwise_and(tmpl.astype(jnp.int32), 15)
-    acc_hi = _dot_brcpq_cgpq(wins, hi).astype(jnp.int32)
-    acc_lo = _dot_brcpq_cgpq(wins, lo).astype(jnp.int32)
-    return acc_hi * 16 + acc_lo
+    return _exact_dot(dot, wins, tmpl, p * q)
 
 
 def exact_corr_mat(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
     """Exact integer correlation as a plain matmul.
 
     wins: [L, K] integer-valued 0..255; tmpl: [T, K] u8 templates.
-    Returns [L, T] i32 == exact sum(wins * tmpl) per pair — same
-    bf16/nibble-split exactness scheme as exact_corr (module docstring).
+    Returns [L, T] i32 == exact sum(wins * tmpl) per pair — same split
+    scheme as exact_corr (see _exact_dot).
     """
-    K = tmpl.shape[-1]
 
-    def dot(t):
+    def dot(w, t):
         return jnp.einsum(
             "lk,tk->lt",
-            wins.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
             t.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
 
-    if K * 65025 < _EXACT_F32_LIMIT:
-        return dot(tmpl).astype(jnp.int32)
-    ti = tmpl.astype(jnp.int32)
-    hi = jnp.right_shift(ti, 4)
-    lo = jnp.bitwise_and(ti, 15)
-    return dot(hi).astype(jnp.int32) * 16 + dot(lo).astype(jnp.int32)
+    return _exact_dot(dot, wins, tmpl, tmpl.shape[-1])
 
 
 def ssd_metric(wins: jax.Array, tmpl: jax.Array, tsq: jax.Array) -> jax.Array:

@@ -77,3 +77,23 @@ def test_cli_multipage_order(stamped_page, mono_font_path, capsys):
     ncc_main(["-i", path, path, "-f", mono_font_path, "-t", "13", "-a", "ABCXYZ"])
     out = capsys.readouterr().out
     assert out.splitlines() == lines + lines
+
+
+def test_cli_verbose_per_search_format(stamped_page, mono_font_path, capsys):
+    """The default (device) engine must print per-(letter, offset) lines in
+    the reference's measured format incl. the elapsed fields (ncc.rs:657-666):
+      `X` [fx, fy] needle size WxH hits N elapsed Tms (N.NN ns/pixel)
+    """
+    import re
+
+    path, _ = stamped_page
+    ncc_main(["-i", path, "-f", mono_font_path, "-t", "13", "-a", "ABCXYZ", "-v"])
+    err = capsys.readouterr().err
+    pat = re.compile(
+        r"^`(.)` \[[-0-9.]+, [-0-9.]+\] needle size \d+x\d+ hits \d+ "
+        r"elapsed \d+ms \(\d+\.\d\d ns/pixel\)$"
+    )
+    per_search = [l for l in err.splitlines() if pat.match(l)]
+    assert len(per_search) == 6  # one per (letter, offset): 6 letters x 1 offset
+    # the group summary flags that device spans are attributed estimates
+    assert any("estimated" in l for l in err.splitlines() if l.startswith("["))

@@ -47,6 +47,15 @@ def test_save_letters_dumps(mono_font_path, tmp_path, monkeypatch):
     assert len(dumps) == 4
     assert any(d.startswith("A-0_0") for d in dumps)
     assert any(d.startswith("A-500_0") for d in dumps)
+    # pixel parity: the reference dumps the RAW white-on-black canvas
+    # (canvas_to_lum8, ncc.rs:645/917-923 — no inversion)
+    from focr_tpu.models.ncc import NccMatcher
+
+    matcher = NccMatcher(face, "AB", ropts, x_bits=1)
+    for nd in matcher.needles:
+        x, y = int(nd.offset[0] * 1000.0), int(nd.offset[1] * 1000.0)
+        dumped = np.asarray(Image.open(tmp_path / "letters" / f"{nd.letter}-{x}_{y}.png"))
+        assert np.array_equal(dumped, nd.pixels)
 
 
 @pytest.mark.parametrize("kern", [0.9, 1.5])

@@ -115,3 +115,22 @@ def test_decode_pages_reuses_decoders(mono_font_path):
     d2 = DecodeOptions(x_start=4, y_start=6, line_height=13, line_advance=15, width=110)
     decode_pages([page], face, "AB01ab", d2, ropts)
     assert len(focr_mod._DECODER_CACHE) == n_after_first + 1
+
+
+@pytest.mark.parametrize("K", [128, 1024, 8192])
+def test_exact_corr_mat_all_split_regimes(K):
+    """The bf16 matmul correlation must equal the exact i64 dot product in
+    every split regime: direct (K<=258), template-nibble (K<=4385), and
+    both-operand nibble (K<=74565) — the bit-parity invariant behind the SSD
+    decoder (ops/ssd.py::_exact_dot)."""
+    from focr_tpu.ops import ssd
+
+    rng = np.random.default_rng(K)
+    wins = rng.integers(0, 256, size=(5, K), dtype=np.int32)
+    tmpl = rng.integers(0, 256, size=(7, K), dtype=np.uint8)
+    # worst case too: all-255 rows maximize every partial sum
+    wins[0] = 255
+    tmpl[0] = 255
+    got = np.asarray(ssd.exact_corr_mat(wins, tmpl))
+    want = wins.astype(np.int64) @ tmpl.T.astype(np.int64)
+    assert np.array_equal(got.astype(np.int64), want)
