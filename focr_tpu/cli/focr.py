@@ -101,14 +101,29 @@ def main(argv: list[str] | None = None) -> int:
 
         mesh = auto_mesh(glyph_shards=args.glyph_shards)
 
-    with metrics_run(args.profile) as mrun:
-        good_results = decode_pages(
-            good_pages, face, args.alphabet, dopts, ropts,
-            batch_size=args.batch_size, mesh=mesh,
-        )
+    streamed = len(args.img) == 1 and args.verify is None and bool(good_pages)
     results: list[list] = [[] for _ in pages]
-    for i, lines in zip(good_idx, good_results):
-        results[i] = lines
+    if streamed:
+        # single-image fast path: stream each decoded line to stdout the
+        # moment its device results land (main.rs:427-440)
+        from focr_tpu.models.focr import _cached_decoder, decode_single_stream
+
+        page = good_pages[0]
+        dec = _cached_decoder(
+            face, args.alphabet, dopts, ropts, page.shape, mesh
+        )
+        with metrics_run(args.profile) as mrun:
+            for line in decode_single_stream(dec, page):
+                print(line.text, flush=True)
+                results[good_idx[0]].append(line)
+    else:
+        with metrics_run(args.profile) as mrun:
+            good_results = decode_pages(
+                good_pages, face, args.alphabet, dopts, ropts,
+                batch_size=args.batch_size, mesh=mesh,
+            )
+        for i, lines in zip(good_idx, good_results):
+            results[i] = lines
 
     if args.verify is not None:
         from focr_tpu.io.overlays import draw_verify, red_blue_mse
@@ -122,10 +137,11 @@ def main(argv: list[str] | None = None) -> int:
             diff = red_blue_mse(overlay)
             print(f"{img_path} {diff:.6f}", file=sys.stderr)
 
-    out = sys.stdout
-    for lines in results:
-        for line in lines:
-            print(line.text, file=out)
+    if not streamed:
+        out = sys.stdout
+        for lines in results:
+            for line in lines:
+                print(line.text, file=out)
 
     if args.metrics_json is not None:
         from focr_tpu.utils.metrics import write_metrics

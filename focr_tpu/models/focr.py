@@ -190,7 +190,8 @@ class GridDecoder:
                     return outs
 
                 self._combined_fn = jax.jit(combined, static_argnames=("B",))
-        elif self.crop_w > 0 and alphabet:
+        self._stream_fns: dict[int, object] = {}
+        if self.crop_w > 0 and not self.monospace and alphabet:
             from focr_tpu.fonts.bank import build_prop_bank
             from focr_tpu.models.focr_prop import PropDecoder
 
@@ -202,6 +203,17 @@ class GridDecoder:
                     )
             except ValueError:  # non-positive advance: host oracle fallback
                 self.prop_groups = []
+
+    def _stream_fn(self, gi: int):
+        """Jitted per-row-group strip forward for the streaming single-image
+        path (separate from _combined_fn, which fuses all groups into one
+        call — streaming wants one dispatch per row chunk instead)."""
+        fn = self._stream_fns.get(gi)
+        if fn is None:
+            # single-chip groups carry the raw make_strip_forward closure
+            fn = jax.jit(self.groups[gi][1])
+            self._stream_fns[gi] = fn
+        return fn
 
     def decode_batch(self, pages: np.ndarray) -> list[list[DecodedLine]]:
         """pages [B, H, W] u8 -> per-page decoded lines in row order."""
@@ -361,6 +373,42 @@ def decode_pages(
             for j, lines in enumerate(decoded):
                 results[bucket.indices[s + j]] = lines
     return results  # type: ignore[return-value]
+
+
+def decode_single_stream(dec: GridDecoder, page: np.ndarray, rows_per_chunk: int = 16):
+    """Yield DecodedLine for ONE page in row order, streaming each row chunk
+    as its device results land.
+
+    Mirrors the reference's single-image fast path, which prints every line
+    to stdout the moment it is decoded (main.rs:427-440) instead of buffering
+    the page. Rows are dispatched in fixed-size chunks (padded with white
+    strips, which the all-white skip drops) so every distinct crop height
+    compiles exactly once; all chunks are enqueued asynchronously up front and
+    fetched in row order, so early lines reach the caller while later rows are
+    still in flight. Output is bit-identical to ``decode_batch(page[None])[0]``
+    — same kernels, same assembly."""
+    if dec.mesh is not None or not dec.monospace or dec.crop_w == 0 or not dec.groups:
+        for lines in dec.decode_batch(page[None]):
+            yield from lines
+        return
+    pending = []
+    for gi, (grp, _) in enumerate(dec.groups):
+        jfn = dec._stream_fn(gi)
+        for s in range(0, len(grp.ys), rows_per_chunk):
+            ys = grp.ys[s : s + rows_per_chunk]
+            strips = np.full(
+                (1, rows_per_chunk, grp.crop_h, dec.crop_w), 255, dtype=np.uint8
+            )
+            crop_strips(
+                page[None], ys, grp.crop_h, dec.x0, dec.crop_w,
+                out=strips[:, : len(ys)],
+            )
+            pending.append((ys, jfn(jnp.asarray(strips))))
+    # groups are ordered full-height-first = ascending y (partial rows are at
+    # the page bottom), so in-order fetch is row order
+    for ys, outs in pending:
+        ids, white = jax.device_get(outs)
+        yield from dec._assemble(ids[:, : len(ys)], white[:, : len(ys)], list(ys))[0]
 
 
 def decode_stream(dec: GridDecoder, arr: np.ndarray, batch_size: int):

@@ -134,3 +134,43 @@ def test_exact_corr_mat_all_split_regimes(K):
     got = np.asarray(ssd.exact_corr_mat(wins, tmpl))
     want = wins.astype(np.int64) @ tmpl.T.astype(np.int64)
     assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_single_stream_parity_and_incrementality(mono):
+    """decode_single_stream: bit-identical to decode_batch AND yields early
+    rows before later chunks are fetched (main.rs:427-440 streaming)."""
+    import focr_tpu.models.focr as mf
+
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(
+        x_start=2, y_start=3, line_height=12, line_advance=15,
+        width=width_for_cells(mono, ropts, 5),
+    )
+    rng = np.random.default_rng(7)
+    chars = list(ALPHABET)
+    # 8 text rows + partial bottom row; rows_per_chunk=2 -> >=5 chunks
+    lines = ["".join(rng.choice(chars, size=5)) for _ in range(8)]
+    page = synthesize_page(mono, lines, dopts, ropts, ALPHABET, (130, 70), blank_rows={3})
+    dec = GridDecoder(mono, ALPHABET, dopts, ropts, page.shape)
+    want = dec.decode_batch(page[None])[0]
+
+    events = []
+    orig_get = mf.jax.device_get
+
+    def spy_get(tree):
+        events.append("fetch")
+        return orig_get(tree)
+
+    mf.jax.device_get = spy_get
+    try:
+        got = []
+        for line in mf.decode_single_stream(dec, page, rows_per_chunk=2):
+            events.append("yield")
+            got.append(line)
+    finally:
+        mf.jax.device_get = orig_get
+
+    assert [(l.text, l.y) for l in got] == [(l.text, l.y) for l in want]
+    # streaming: some lines must be yielded BEFORE the last chunk is fetched
+    last_fetch = len(events) - 1 - events[::-1].index("fetch")
+    assert "yield" in events[:last_fetch], events

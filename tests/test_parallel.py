@@ -248,3 +248,36 @@ def test_prop_decoder_mesh_parity(sans_font_path):
     assert [[(l.text, l.y) for l in p] for p in a] == [
         [(l.text, l.y) for l in p] for p in b
     ]
+
+
+def test_ncc_sharded_pallas_scatter_matches_single(mono_font_path):
+    """device_kernel='pallas' on a mesh: pages scatter round-robin across the
+    8 virtual devices, each running the fused Pallas kernel (interpret mode on
+    CPU) — results bit-identical to single-chip get_hits, no downgrade note."""
+    import io
+    from contextlib import redirect_stderr
+
+    import numpy as np
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+    from focr_tpu.parallel.mesh import page_mesh
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    pages = [
+        synthesize_page(face, [t], dopts, ropts, "AB01ab", (64, 128))
+        for t in ("AB01ab", "ba10BA", "A0b1aB")
+    ]
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1, device_kernel="pallas")
+    mesh = page_mesh(glyph_shards=1)
+    err = io.StringIO()
+    with redirect_stderr(err):
+        sharded = m.get_hits_many_sharded(pages, mesh)
+    assert "XLA conv kernel" not in err.getvalue()
+    single = [m.get_hits(p) for p in pages]
+    key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
+    assert [key(h) for h in sharded] == [key(h) for h in single]
