@@ -278,22 +278,29 @@ class NccMatcher:
         Each wave's results fetch in ONE device_get transfer (the reference's
         rayon fan-out, ncc.rs:839-847, re-expressed as device-queue
         pipelining)."""
+        import concurrent.futures as cf
+
         wave = 8
         out: list = []
-        pending = None
-        for s in range(0, len(pages), wave):
-            dispatched = [self._dispatch_page(p) for p in pages[s : s + wave]]
+        # a worker thread blocks on each wave's device_get so the transfer of
+        # wave k overlaps the host replay of wave k-1 (fetch and collect were
+        # each ~20ms/page serial on dense corpora)
+        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+            pending: cf.Future | None = None
+            for s in range(0, len(pages), wave):
+                dispatched = [self._dispatch_page(p) for p in pages[s : s + wave]]
+                fut = pool.submit(_fetch_plans_many, dispatched)
+                if pending is not None:
+                    out.extend(
+                        self._collect_page(d, verbose, False, None, struct)
+                        for d in pending.result()
+                    )
+                pending = fut
             if pending is not None:
                 out.extend(
                     self._collect_page(d, verbose, False, None, struct)
-                    for d in _fetch_plans_many(pending)
+                    for d in pending.result()
                 )
-            pending = dispatched
-        if pending is not None:
-            out.extend(
-                self._collect_page(d, verbose, False, None, struct)
-                for d in _fetch_plans_many(pending)
-            )
         return out
 
     def get_hits_many_sharded(

@@ -148,10 +148,11 @@ def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[
         np.arange(1, N + 1),
     )
     run_starts = []
+    nxt_l = nxt.tolist()  # python ints: the jump loop is inherently serial
     r = 0
     while r < N:
         run_starts.append(r)
-        r = int(nxt[r])
+        r = nxt_l[r]
     rs = np.array(run_starts, dtype=np.int64)
     # last max per run: max value via reduceat, then the LAST index
     # attaining it (Rust max_by keeps the last maximal element)
@@ -164,19 +165,40 @@ def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[
         else np.zeros(0, np.int64)
     )
 
-    needles = hs.matcher.needles
-    lines: list[list[MatchWithLetter]] = []
+    # winner assembly, vectorized: gather every surviving hit's fields as
+    # arrays, convert to python scalars in bulk (.tolist() — per-element
+    # numpy indexing dominated this loop on dense pages), then slice into
+    # lines by the precomputed boundaries
     win_line = line_of[xo][widx] if len(widx) else np.zeros(0, np.int64)
-    cur = -1
-    for w, li in zip(widx, win_line):
-        if li != cur:
-            lines.append([])
-            cur = li
-        nd = needles[lnid[w]]
-        nh_, nw_ = nd.pixels.shape
-        lines[-1].append(
-            MatchWithLetter(
-                nd.letter, int(lx[w]), int(lyy[w]), nw_, nh_, float(lsim[w])
-            )
-        )
+    letters, nws, nhs = _needle_tables(hs.matcher)
+    wnid = lnid[widx]
+    cols = zip(
+        letters[wnid].tolist(),
+        lx[widx].tolist(),
+        lyy[widx].tolist(),
+        nws[wnid].tolist(),
+        nhs[wnid].tolist(),
+        lsim[widx].astype(np.float64).tolist(),
+    )
+    flat = [MatchWithLetter(*row) for row in cols]
+    lines: list[list[MatchWithLetter]] = []
+    line_bounds = np.flatnonzero(np.diff(win_line)) + 1
+    prev = 0
+    for b in [*line_bounds.tolist(), len(flat)]:
+        lines.append(flat[prev:b])
+        prev = b
     return lines
+
+
+def _needle_tables(matcher) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-needle (letter, nw, nh) lookup arrays, cached on the matcher."""
+    tables = getattr(matcher, "_post_tables", None)
+    if tables is None:
+        needles = matcher.needles
+        tables = (
+            np.array([nd.letter for nd in needles]),
+            np.array([nd.pixels.shape[1] for nd in needles], dtype=np.int64),
+            np.array([nd.pixels.shape[0] for nd in needles], dtype=np.int64),
+        )
+        matcher._post_tables = tables
+    return tables

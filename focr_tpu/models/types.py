@@ -77,7 +77,7 @@ class Match:
         return (self.x + self.w / 2.0, self.y + self.h / 2.0)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)  # slots: dense pages build ~10^5 of these
 class MatchWithLetter:
     letter: str
     x: int
