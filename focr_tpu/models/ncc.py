@@ -288,7 +288,11 @@ class NccMatcher:
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
             pending: cf.Future | None = None
             for s in range(0, len(pages), wave):
-                dispatched = [self._dispatch_page(p) for p in pages[s : s + wave]]
+                batch = pages[s : s + wave]
+                dispatched = [
+                    self._dispatch_page(p, pre=pre)
+                    for p, pre in zip(batch, self._upload_wave(batch))
+                ]
                 fut = pool.submit(_fetch_plans_many, dispatched)
                 if pending is not None:
                     out.extend(
@@ -395,14 +399,37 @@ class NccMatcher:
             )
         return results
 
-    def _dispatch_page(self, page: np.ndarray, device=None):
+    @staticmethod
+    def _upload_wave(batch: list[np.ndarray]):
+        """Invert + upload one wave of pages with ONE host->device transfer
+        per page shape (per-page uploads pay a transport round trip each);
+        yields (inv_host, inv_dev) pairs in page order. Device slices of the
+        stacked upload feed the kernels unchanged."""
+        by_shape: dict[tuple[int, int], list[int]] = {}
+        for i, p in enumerate(batch):
+            by_shape.setdefault(p.shape, []).append(i)
+        pre: list = [None] * len(batch)
+        for idxs in by_shape.values():
+            inv_all = (255 - np.stack([batch[i] for i in idxs]).astype(np.int32)).astype(
+                np.uint8
+            )
+            inv_j_all = jnp.asarray(inv_all)
+            for k, i in enumerate(idxs):
+                pre[i] = (inv_all[k], inv_j_all[k])
+        return pre
+
+    def _dispatch_page(self, page: np.ndarray, device=None, pre=None):
         """Phase 1: enqueue all device work for one page; nothing is fetched.
         ``device`` pins the page's sweeps to one chip (the mesh scatter path);
-        None uses the default device."""
+        None uses the default device. ``pre`` supplies an already-uploaded
+        (inv_host, inv_dev) pair from _upload_wave."""
         t0 = time.perf_counter()
         H, W = page.shape
-        inv = (255 - page.astype(np.int32)).astype(np.uint8)
-        inv_j = jnp.asarray(inv) if device is None else jax.device_put(inv, device)
+        if pre is not None:
+            inv, inv_j = pre
+        else:
+            inv = (255 - page.astype(np.int32)).astype(np.uint8)
+            inv_j = jnp.asarray(inv) if device is None else jax.device_put(inv, device)
         plan: list[tuple[_Group, str, object]] = []
         for grp, dev in zip(self.groups, self._device_groups(device)):
             if grp.nh >= H or grp.nw >= W:
@@ -635,13 +662,19 @@ class NccMatcher:
         widx, wval, counts, nzw = (np.asarray(o) for o in outs)
         inv32, inv32_sq, inv_u8 = tables
         if int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX:
-            # word-cap overflow below the ceiling: bump this group's capw for
-            # all future pages and re-dispatch THIS page once at the max (an
-            # exact device redo beats per-needle host fallbacks)
-            self._capw[(grp.nh, grp.nw)] = _CAPW_MAX
+            # word-cap overflow below the ceiling: grow this group's capw to
+            # the next power of two covering the MEASURED word count (nzw is
+            # exact) — bounded compiles, and the per-page result fetch stays
+            # sized to the corpus density instead of jumping to the 256KB
+            # ceiling — then re-dispatch THIS page once (an exact device redo
+            # beats per-needle host fallbacks). A denser later page re-grows
+            # the same way.
+            need = max(int(nzw[0]), 2 * widx.shape[0])
+            capw_new = min(_CAPW_MAX, 1 << (need - 1).bit_length())
+            self._capw[(grp.nh, grp.nw)] = capw_new
             dev = next(d for g, d in zip(self.groups, self._device_groups()) if g is grp)
             redo = ncc_ops_pallas_call(
-                jnp.asarray(inv_u8), grp, dev, capw=_CAPW_MAX
+                jnp.asarray(inv_u8), grp, dev, capw=capw_new
             )
             widx, wval, counts, nzw = jax.device_get(redo)
         WW = pallas_ncc.word_stride(W, grp.nw)
