@@ -283,9 +283,27 @@ class NccMatcher:
         wave = 8
         out: list = []
         # a worker thread blocks on each wave's device_get so the transfer of
-        # wave k overlaps the host replay of wave k-1 (fetch and collect were
-        # each ~20ms/page serial on dense corpora)
-        with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        # wave k overlaps the host replay of wave k-1; the replay itself runs
+        # page-parallel (the exact-f64 replay is C++/NumPy releasing the GIL).
+        # verbose stays serial: its per-search stderr lines must interleave in
+        # reference order.
+        with (
+            cf.ThreadPoolExecutor(max_workers=1) as pool,
+            cf.ThreadPoolExecutor(max_workers=4) as cpool,
+        ):
+            def collect_wave(fetched) -> list:
+                if verbose:
+                    return [
+                        self._collect_page(d, verbose, False, None, struct)
+                        for d in fetched
+                    ]
+                return list(
+                    cpool.map(
+                        lambda d: self._collect_page(d, False, False, None, struct),
+                        fetched,
+                    )
+                )
+
             pending: cf.Future | None = None
             for s in range(0, len(pages), wave):
                 batch = pages[s : s + wave]
@@ -295,16 +313,10 @@ class NccMatcher:
                 ]
                 fut = pool.submit(_fetch_plans_many, dispatched)
                 if pending is not None:
-                    out.extend(
-                        self._collect_page(d, verbose, False, None, struct)
-                        for d in pending.result()
-                    )
+                    out.extend(collect_wave(pending.result()))
                 pending = fut
             if pending is not None:
-                out.extend(
-                    self._collect_page(d, verbose, False, None, struct)
-                    for d in pending.result()
-                )
+                out.extend(collect_wave(pending.result()))
         return out
 
     def get_hits_many_sharded(
@@ -671,6 +683,9 @@ class NccMatcher:
             # the same way.
             need = max(int(nzw[0]), 2 * widx.shape[0])
             capw_new = min(_CAPW_MAX, 1 << (need - 1).bit_length())
+            # benign race under page-parallel collect: concurrent overflows
+            # each redo exactly and last-write-wins on the cached cap; a later
+            # page that needs more simply regrows
             self._capw[(grp.nh, grp.nw)] = capw_new
             dev = next(d for g, d in zip(self.groups, self._device_groups()) if g is grp)
             redo = ncc_ops_pallas_call(

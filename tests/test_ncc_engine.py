@@ -159,3 +159,31 @@ def test_struct_pipeline_matches_objects(mono_font_path):
         assert key(a) == key(b)
         # also exercise a nonstandard overlap that forces multi-hit runs
         assert key(process_hits_struct(hs, 0.8, 9)) == key(process_hits(ho, 0.8, 9))
+
+
+def test_get_hits_many_mixed_shapes(mono_font_path):
+    """Wave-batched uploads group pages by shape; a corpus mixing page sizes
+    (and >1 wave of pages) must stay hit-for-hit identical to per-page."""
+    import numpy as np
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    texts = ["AB01ab", "ba10BA", "A0b1aB", "B1a0bA", "abAB10", "10BAab",
+             "Ab01aB", "bA10Ba", "0A1bBa", "aabb01"]
+    shapes = [(64, 128), (80, 150), (64, 128), (70, 140), (80, 150),
+              (64, 128), (70, 140), (64, 128), (80, 150), (64, 128)]
+    pages = [
+        synthesize_page(face, [t], dopts, ropts, "AB01ab", sh)
+        for t, sh in zip(texts, shapes)
+    ]
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1)
+    many = m.get_hits_many(pages)
+    single = [m.get_hits(p) for p in pages]
+    key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
+    assert [key(h) for h in many] == [key(h) for h in single]
