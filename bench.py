@@ -112,7 +112,7 @@ def bench_ncc(face, reps: int) -> tuple[float, int]:
     raw hits per page; full pipeline = device sweep + exact host replay +
     post-processing into text lines."""
     from focr_tpu.models.ncc import NccMatcher
-    from focr_tpu.models.post import process_hits_struct
+    from focr_tpu.models.post import process_hits_text
     from focr_tpu.models.types import DecodeOptions, NCC_DEFAULT_ALPHABET, RenderOptions
     from focr_tpu.io.synth import synthesize_page, random_text_lines
 
@@ -128,10 +128,10 @@ def bench_ncc(face, reps: int) -> tuple[float, int]:
     matcher = NccMatcher(face, NCC_DEFAULT_ALPHABET, ropts, x_bits=2)
 
     def run_all(src):
-        return [
-            ["".join(m.letter for m in line) for line in process_hits_struct(h, 0.95, 5)]
-            for h in matcher.get_hits_many(src, struct=True)
-        ]
+        # post fused into the pipeline workers, like the CLI text path
+        return matcher.get_hits_many(
+            src, struct=True, post=lambda hs: process_hits_text(hs, 0.95, 5)
+        )
 
     decoded = run_all(pages)  # warmup
     for t, got in zip(truths, decoded):

@@ -144,8 +144,16 @@ def main(argv: list[str] | None = None) -> int:
         mesh = auto_mesh()
 
     # the array-form (struct) pipeline skips per-hit object creation; verbose
-    # diagnostics need the object form (per-hit dumps)
+    # diagnostics need the object form (per-hit dumps). Text output fuses
+    # post-processing into the pipeline workers (text_post, the reference's
+    # rayon (get_hits, process_hits) task shape, ncc.rs:842-845) — --csv
+    # needs full per-hit fields so it post-processes to objects instead.
     struct = engine == "device" and not args.verbose
+    text_post = None
+    if struct and not args.csv:
+        from focr_tpu.models.post import process_hits_text
+
+        text_post = lambda hs: process_hits_text(hs, args.anchor_threshold, args.overlap)
 
     with metrics_run(args.profile) as mrun:
         if engine == "device" and mesh is not None and len(loaded) > 1:
@@ -157,7 +165,7 @@ def main(argv: list[str] | None = None) -> int:
             for idxs in buckets.values():
                 outs = matcher.get_hits_many_sharded(
                     [loaded[j][1] for j in idxs], mesh, verbose=args.verbose,
-                    struct=struct,
+                    struct=struct, post=text_post,
                 )
                 for j, h in zip(idxs, outs):
                     hit_lists[j] = h
@@ -165,11 +173,14 @@ def main(argv: list[str] | None = None) -> int:
             # page pipeline: all device sweeps enqueue before any host
             # replay (amortizes dispatch latency across the corpus)
             hit_lists = matcher.get_hits_many(
-                [p for _, p in loaded], verbose=args.verbose, struct=struct
+                [p for _, p in loaded], verbose=args.verbose, struct=struct,
+                post=text_post,
             )
         else:
             hit_lists = [get(p, verbose=args.verbose) for _, p in loaded]
-        if struct:
+        if text_post is not None:
+            lines_by_page = {i: h for (i, _), h in zip(loaded, hit_lists)}
+        elif struct:
             from focr_tpu.models.post import process_hits_struct
 
             lines_by_page = {
@@ -196,7 +207,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         for _, lines in pages_out:
             for line in lines:
-                print("".join(m.letter for m in line))
+                print(line if isinstance(line, str) else "".join(m.letter for m in line))
 
     if args.metrics_json is not None:
         from focr_tpu.utils.metrics import write_metrics

@@ -269,7 +269,8 @@ class NccMatcher:
         )
 
     def get_hits_many(
-        self, pages: list[np.ndarray], verbose: bool = False, struct: bool = False
+        self, pages: list[np.ndarray], verbose: bool = False, struct: bool = False,
+        post=None,
     ):
         """Multi-page pipeline: device sweeps dispatch in waves of pages with
         one wave prefetched ahead of the host replay, so uploads/compute
@@ -277,7 +278,13 @@ class NccMatcher:
         dispatch has tripped device FailedPrecondition on long corpora).
         Each wave's results fetch in ONE device_get transfer (the reference's
         rayon fan-out, ncc.rs:839-847, re-expressed as device-queue
-        pipelining)."""
+        pipelining).
+
+        ``post``: optional per-page callable applied to each page's hits
+        inside the pipeline's worker pool (the reference computes
+        process_hits inside the same rayon task as get_hits, ncc.rs:842-845);
+        the returned list then holds post(hits) per page. Fusing it here
+        overlaps post-processing with the next wave's transfer."""
         import concurrent.futures as cf
 
         wave = 8
@@ -291,18 +298,14 @@ class NccMatcher:
             cf.ThreadPoolExecutor(max_workers=1) as pool,
             cf.ThreadPoolExecutor(max_workers=4) as cpool,
         ):
+            def collect_one(d, verb):
+                hits = self._collect_page(d, verb, False, None, struct)
+                return post(hits) if post is not None else hits
+
             def collect_wave(fetched) -> list:
                 if verbose:
-                    return [
-                        self._collect_page(d, verbose, False, None, struct)
-                        for d in fetched
-                    ]
-                return list(
-                    cpool.map(
-                        lambda d: self._collect_page(d, False, False, None, struct),
-                        fetched,
-                    )
-                )
+                    return [collect_one(d, verbose) for d in fetched]
+                return list(cpool.map(lambda d: collect_one(d, False), fetched))
 
             pending: cf.Future | None = None
             for s in range(0, len(pages), wave):
@@ -321,7 +324,7 @@ class NccMatcher:
 
     def get_hits_many_sharded(
         self, pages: list[np.ndarray], mesh, verbose: bool = False,
-        struct: bool = False,
+        struct: bool = False, post=None,
     ):
         """Multi-chip corpus search: pages batch over the mesh's devices
         (data-parallel, SURVEY.md §2.5/§5.8), one sharded sweep per
@@ -343,22 +346,21 @@ class NccMatcher:
             wave = 8 * len(devices)
             out: list = []
             pending = None
+
+            def collect(d):
+                hits = self._collect_page(d, verbose, False, None, struct)
+                return post(hits) if post is not None else hits
+
             for s in range(0, len(pages), wave):
                 dispatched = [
                     self._dispatch_page(p, device=devices[(s + i) % len(devices)])
                     for i, p in enumerate(pages[s : s + wave])
                 ]
                 if pending is not None:
-                    out.extend(
-                        self._collect_page(d, verbose, False, None, struct)
-                        for d in _fetch_plans_many(pending)
-                    )
+                    out.extend(collect(d) for d in _fetch_plans_many(pending))
                 pending = dispatched
             if pending is not None:
-                out.extend(
-                    self._collect_page(d, verbose, False, None, struct)
-                    for d in _fetch_plans_many(pending)
-                )
+                out.extend(collect(d) for d in _fetch_plans_many(pending))
             return out
         t_dispatch = time.perf_counter()
         H, W = pages[0].shape
@@ -404,11 +406,10 @@ class NccMatcher:
                 (g, k, None if o is None else tuple(np.asarray(a[b]) for a in o))
                 for g, k, o in per_group
             ]
-            results.append(
-                self._collect_page(
-                    (pages[b], inv[b], plan, t_dispatch), verbose, False, None, struct
-                )
+            hits = self._collect_page(
+                (pages[b], inv[b], plan, t_dispatch), verbose, False, None, struct
             )
+            results.append(post(hits) if post is not None else hits)
         return results
 
     @staticmethod

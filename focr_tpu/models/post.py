@@ -103,20 +103,21 @@ def process_hits(
     return lines
 
 
-def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[MatchWithLetter]]:
-    """Array-form process_hits (models/ncc.py::HitStruct input) — identical
-    semantics, vectorized: the anchor filter, stable y/x sorts, run-anchored
-    overlap partition, and last-max dedup operate on arrays, and
-    MatchWithLetter objects are built only for the surviving line hits
-    (dense pages have ~10x more raw hits than survivors)."""
+def _winner_arrays(hs, anchor_threshold: float, overlap: int):
+    """Shared vectorized core of process_hits on HitStruct arrays: anchor
+    filter, stable y/x sorts, run-anchored overlap partition, last-max dedup.
+
+    Returns None when no hits survive, else winner arrays
+    ``(wnid, wx, wy, wsim, line_bounds)`` in final output order, where
+    ``line_bounds`` are the split points between text lines."""
     anchor_f32 = np.float32(anchor_threshold)
     y = hs.y
     if len(y) == 0:
-        return []
+        return None
     anchor_ys = np.unique(y[hs.sim >= anchor_f32])
     keep = np.isin(y, anchor_ys)
     if not keep.any():
-        return []
+        return None
     y = y[keep]
     x = hs.x[keep]
     sim = hs.sim[keep]
@@ -165,29 +166,59 @@ def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[
         else np.zeros(0, np.int64)
     )
 
+    win_line = line_of[xo][widx] if len(widx) else np.zeros(0, np.int64)
+    line_bounds = np.flatnonzero(np.diff(win_line)) + 1
+    return lnid[widx], lx[widx], lyy[widx], lsim[widx], line_bounds
+
+
+def process_hits_struct(hs, anchor_threshold: float, overlap: int) -> list[list[MatchWithLetter]]:
+    """Array-form process_hits (models/ncc.py::HitStruct input) — identical
+    semantics to process_hits, vectorized (see _winner_arrays), and
+    MatchWithLetter objects are built only for the surviving line hits
+    (dense pages have ~10x more raw hits than survivors)."""
+    w = _winner_arrays(hs, anchor_threshold, overlap)
+    if w is None:
+        return []
+    wnid, wx, wy, wsim, line_bounds = w
     # winner assembly, vectorized: gather every surviving hit's fields as
     # arrays, convert to python scalars in bulk (.tolist() — per-element
     # numpy indexing dominated this loop on dense pages), then slice into
     # lines by the precomputed boundaries
-    win_line = line_of[xo][widx] if len(widx) else np.zeros(0, np.int64)
     letters, nws, nhs = _needle_tables(hs.matcher)
-    wnid = lnid[widx]
     cols = zip(
         letters[wnid].tolist(),
-        lx[widx].tolist(),
-        lyy[widx].tolist(),
+        wx.tolist(),
+        wy.tolist(),
         nws[wnid].tolist(),
         nhs[wnid].tolist(),
-        lsim[widx].astype(np.float64).tolist(),
+        wsim.astype(np.float64).tolist(),
     )
     flat = [MatchWithLetter(*row) for row in cols]
     lines: list[list[MatchWithLetter]] = []
-    line_bounds = np.flatnonzero(np.diff(win_line)) + 1
     prev = 0
     for b in [*line_bounds.tolist(), len(flat)]:
         lines.append(flat[prev:b])
         prev = b
     return lines
+
+
+def process_hits_text(hs, anchor_threshold: float, overlap: int) -> list[str]:
+    """Text-only process_hits: each output line is the concatenation of the
+    surviving hits' letters (exactly what the reference prints for non---csv
+    runs, ncc.rs:868-877) — no per-hit objects are materialized, which is the
+    dominant post-processing cost on dense pages (~4k winners/page)."""
+    w = _winner_arrays(hs, anchor_threshold, overlap)
+    if w is None:
+        return []
+    wnid, _, _, _, line_bounds = w
+    letters, _, _ = _needle_tables(hs.matcher)
+    s = "".join(letters[wnid].tolist())
+    out: list[str] = []
+    prev = 0
+    for b in [*line_bounds.tolist(), len(s)]:
+        out.append(s[prev:b])
+        prev = b
+    return out
 
 
 def _needle_tables(matcher) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import string
+import zlib
 
 import numpy as np
 import pytest
@@ -87,11 +88,16 @@ def test_raster_bounds_match_ink_extents(font_key):
     face = Face(path)
     chars = [c for c in string.printable if not c.isspace()]
     covered = sum(1 for c in chars if face.glyph_for_char(c) != 0)
-    rng = np.random.default_rng(hash(font_key) % 2**32)
+    # stable seed: hash() is salted per process (PYTHONHASHSEED), which made
+    # the sample-count floor below flaky across runs
+    rng = np.random.default_rng(zlib.crc32(font_key.encode()))
     h = HintingOptions()
     sides = np.zeros(0, dtype=np.int64)
     M = 40
-    for _ in range(1200):
+    floor = 3000 if covered >= 30 else 120
+    attempts = 0
+    while len(sides) < max(floor, 3000) and attempts < 20000:
+        attempts += 1
         ch = chars[int(rng.integers(len(chars)))]
         gid = face.glyph_for_char(ch)
         if gid == 0:
@@ -117,6 +123,6 @@ def test_raster_bounds_match_ink_extents(font_key):
         sides = np.concatenate([sides, slack])
     # enough non-empty samples to be meaningful (PyGameMono covers only a
     # handful of printable chars, so scale the floor to the font's coverage)
-    assert len(sides) >= (3000 if covered >= 30 else 120)
+    assert len(sides) >= floor
     # bounds must be TIGHT, not merely containing: the mass sits at exactly 0
     assert (sides == 0).mean() > 0.95, f"loose bounds: {np.bincount(sides + 1)}"

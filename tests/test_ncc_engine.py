@@ -161,6 +161,42 @@ def test_struct_pipeline_matches_objects(mono_font_path):
         assert key(process_hits_struct(hs, 0.8, 9)) == key(process_hits(ho, 0.8, 9))
 
 
+def test_text_path_and_fused_post_match_objects(mono_font_path):
+    """process_hits_text and the pipeline-fused post= callback must yield
+    exactly the text the object pipeline prints (ncc.rs:868-877)."""
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.post import process_hits, process_hits_text
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    pages = [
+        synthesize_page(face, [t, t[::-1]], dopts, ropts, "AB01ab", (64, 128))
+        for t in ("AB01ab", "ba10BA", "A0b1aB")
+    ]
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1, threshold=0.5)
+    for anchor, overlap in ((0.95, 5), (0.8, 9), (0.999, 0)):
+        fused = m.get_hits_many(
+            pages, struct=True,
+            post=lambda hs: process_hits_text(hs, anchor, overlap),
+        )
+        want = [
+            ["".join(h.letter for h in ln) for ln in process_hits(ho, anchor, overlap)]
+            for ho in m.get_hits_many(pages)
+        ]
+        assert fused == want
+    # empty page: no hits -> no lines through every path
+    import numpy as np
+
+    blank = np.full((64, 128), 255, dtype=np.uint8)
+    assert m.get_hits_many(
+        [blank], struct=True, post=lambda hs: process_hits_text(hs, 0.95, 5)
+    ) == [[]]
+
+
 def test_get_hits_many_mixed_shapes(mono_font_path):
     """Wave-batched uploads group pages by shape; a corpus mixing page sizes
     (and >1 wave of pages) must stay hit-for-hit identical to per-page."""
