@@ -59,7 +59,7 @@ def test_fuzz_ncc_device_vs_oracle(mono_font_path, seed):
     assert key(hd) == key(ho), f"seed {seed} box={box} kernel={kernel} thr={threshold}"
 
     # and the struct post-processing pipeline must agree with the object one
-    from focr_tpu.models.post import process_hits, process_hits_struct
+    from focr_tpu.models.post import process_hits, process_hits_struct, process_hits_text
 
     (struct,) = m.get_hits_many([page], struct=True)
     anchor = float(rng.uniform(threshold, 0.98))
@@ -67,6 +67,10 @@ def test_fuzz_ncc_device_vs_oracle(mono_font_path, seed):
     a = process_hits_struct(struct, anchor, overlap)
     b = process_hits(ho, anchor, overlap)
     assert [key(ln) for ln in a] == [key(ln) for ln in b]
+    # the text fast path prints exactly what the object lines would
+    assert process_hits_text(struct, anchor, overlap) == [
+        "".join(h.letter for h in ln) for ln in b
+    ]
 
 
 @pytest.mark.parametrize("seed", range(4))

@@ -190,6 +190,35 @@ def test_ncc_sharded_matches_single(mono_font_path):
     assert [key(h) for h in sharded] == [key(h) for h in single]
 
 
+def test_ncc_sharded_fused_post(mono_font_path):
+    """post= fused into both sharded branches (XLA shard_map and per-device
+    Pallas scatter) must yield the object pipeline's exact text lines."""
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.post import process_hits, process_hits_text
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+    from focr_tpu.parallel.mesh import page_mesh
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    pages = [
+        synthesize_page(face, [t], dopts, ropts, "AB01ab", (64, 128))
+        for t in ("AB01ab", "ba10BA", "A0b1aB")
+    ]
+    mesh = page_mesh(glyph_shards=1)
+    post = lambda hs: process_hits_text(hs, 0.95, 5)
+    for kernel in ("auto", "pallas"):
+        m = NccMatcher(face, "AB01ab", ropts, x_bits=1, device_kernel=kernel)
+        fused = m.get_hits_many_sharded(pages, mesh, struct=True, post=post)
+        want = [
+            ["".join(h.letter for h in ln) for ln in process_hits(m.get_hits(p), 0.95, 5)]
+            for p in pages
+        ]
+        assert fused == want, kernel
+
+
 def test_ncc_cli_mesh_auto(mono_font_path, tmp_path, capsys):
     from PIL import Image
 
