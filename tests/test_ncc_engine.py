@@ -223,3 +223,38 @@ def test_get_hits_many_mixed_shapes(mono_font_path):
     single = [m.get_hits(p) for p in pages]
     key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
     assert [key(h) for h in many] == [key(h) for h in single]
+
+
+def test_subpixel_duplicate_chars_are_reference_semantics(mono_font_path):
+    """With x-bits 2, repeated/periodic glyphs can emit an EXTRA character:
+    subpixel needles land anchor-quality hits more than `overlap` px apart, so
+    the run-anchored dedup (ncc.rs:753-766, partition anchored at each run's
+    FIRST element) keeps both. The reference behaves identically — its README
+    describes manually cleaning ncc output. This pins the semantic so corpus
+    soaks don't misread it as a parity failure: every engine must produce the
+    SAME imperfect text, bit-identically."""
+    import numpy as np
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.post import process_hits, process_hits_text
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(x_start=5, y_start=10, line_height=12, line_advance=15, width=200)
+    page = synthesize_page(face, ["Id===1>h"], dopts, ropts, "Id=1>h", (40, 220))
+    m = NccMatcher(face, "Id=1>h", ropts, x_bits=2)
+    ho = m.get_hits_oracle(page)
+    hn = m.get_hits_native(page)
+    (hd,) = m.get_hits_many([page])
+    key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
+    assert key(hd) == key(hn) == key(ho)
+    lines = ["".join(h.letter for h in ln) for ln in process_hits(ho, 0.95, 5)]
+    # the decode is imperfect (doubled '1') and identical across engines
+    assert lines == ["Id===11>h"]
+    (fused,) = m.get_hits_many(
+        [page], struct=True, post=lambda hs: process_hits_text(hs, 0.95, 5)
+    )
+    assert fused == lines
