@@ -6,8 +6,8 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"};
 vs_baseline is against the driver-set north star of 50 focr pages/sec on one
 TPU v5e chip (BASELINE.json — the reference itself publishes no numbers,
 SURVEY.md §6). "extra" carries the ncc dense-corpus pages/sec and the focr
-rep-latency spread (p50/p95) so a slow-transport window is distinguishable
-from a perf regression.
+rep-latency spread (best/p50/p05) so a slow-transport window is
+distinguishable from a perf regression.
 
 Measures the full pipeline: device kernels + host assembly/replay,
 steady-state (compile excluded via warmup), decoded output verified against
@@ -31,7 +31,7 @@ ALPHABET = "> =ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
 
 
 def _spread(times: list[float], n_pages: int) -> dict:
-    """Per-rep pages/s spread: best plus p50/p95 latency views."""
+    """Per-rep pages/s spread: best plus p50/p05 (5th-percentile) views."""
     pps = sorted(n_pages / t for t in times)
     q = lambda f: pps[min(int(f * (len(pps) - 1) + 0.5), len(pps) - 1)]
     return {
@@ -106,7 +106,22 @@ def bench_focr(face, reps: int) -> tuple[float, dict]:
     return n_pages / best, _spread(times, n_pages)
 
 
-def bench_ncc(face, reps: int) -> tuple[float, int]:
+def _line_matches_truth(got: str, want: str) -> bool:
+    """True when `got` equals `want` up to EXTRA copies of a char inside an
+    existing run of that char. With x-bits 2, periodic glyphs legitimately
+    emit anchor-quality subpixel hits > overlap px apart and the reference's
+    run-anchored dedup keeps both ('===' can decode as '====') — see
+    tests/test_ncc_engine.py::test_subpixel_duplicate_chars_are_reference_semantics."""
+    from itertools import groupby
+
+    gr = [(c, sum(1 for _ in g)) for c, g in groupby(got)]
+    wr = [(c, sum(1 for _ in g)) for c, g in groupby(want)]
+    return len(gr) == len(wr) and all(
+        gc == wc and gn >= wn for (gc, gn), (wc, wn) in zip(gr, wr)
+    )
+
+
+def bench_ncc(face, reps: int) -> float:
     """Dense-page ncc corpus (x-bits 2, the README.md:56 workload shape):
     74-letter default alphabet, 4 subpixel offsets, ~tens of thousands of
     raw hits per page; full pipeline = device sweep + exact host replay +
@@ -135,7 +150,9 @@ def bench_ncc(face, reps: int) -> tuple[float, int]:
 
     decoded = run_all(pages)  # warmup
     for t, got in zip(truths, decoded):
-        missing = [ln for ln in t if ln not in got]
+        missing = [
+            ln for ln in t if not any(_line_matches_truth(g, ln) for g in got)
+        ]
         assert not missing, f"ncc decode parity failure: {missing[:2]}"
 
     perm_rng = np.random.default_rng(99)

@@ -391,22 +391,36 @@ def decode_single_stream(dec: GridDecoder, page: np.ndarray, rows_per_chunk: int
         for lines in dec.decode_batch(page[None]):
             yield from lines
         return
-    pending = []
-    for gi, (grp, _) in enumerate(dec.groups):
-        jfn = dec._stream_fn(gi)
-        for s in range(0, len(grp.ys), rows_per_chunk):
-            ys = grp.ys[s : s + rows_per_chunk]
-            strips = np.full(
-                (1, rows_per_chunk, grp.crop_h, dec.crop_w), 255, dtype=np.uint8
-            )
-            crop_strips(
-                page[None], ys, grp.crop_h, dec.x0, dec.crop_w,
-                out=strips[:, : len(ys)],
-            )
-            pending.append((ys, jfn(jnp.asarray(strips))))
+    from collections import deque
+    from itertools import islice
+
+    def dispatch_chunks():
+        for gi, (grp, _) in enumerate(dec.groups):
+            jfn = dec._stream_fn(gi)
+            for s in range(0, len(grp.ys), rows_per_chunk):
+                ys = grp.ys[s : s + rows_per_chunk]
+                strips = np.full(
+                    (1, rows_per_chunk, grp.crop_h, dec.crop_w), 255, dtype=np.uint8
+                )
+                crop_strips(
+                    page[None], ys, grp.crop_h, dec.x0, dec.crop_w,
+                    out=strips[:, : len(ys)],
+                )
+                yield ys, jfn(jnp.asarray(strips))
+
     # groups are ordered full-height-first = ascending y (partial rows are at
-    # the page bottom), so in-order fetch is row order
-    for ys, outs in pending:
+    # the page bottom), so in-order fetch is row order. Dispatch depth is
+    # bounded to a small in-flight window: unbounded async dispatch has
+    # tripped device FailedPrecondition on long inputs (see get_hits_many),
+    # and a pathologically tall page would otherwise enqueue hundreds of
+    # chunks up front.
+    it = dispatch_chunks()
+    pending = deque(islice(it, 8))
+    while pending:
+        ys, outs = pending.popleft()
+        nxt = next(it, None)
+        if nxt is not None:
+            pending.append(nxt)
         ids, white = jax.device_get(outs)
         yield from dec._assemble(ids[:, : len(ys)], white[:, : len(ys)], list(ys))[0]
 

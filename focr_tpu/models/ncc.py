@@ -117,15 +117,15 @@ def _fetch_plans_many(dispatched: list) -> list:
     the whole corpus costs one transfer round trip instead of one per array —
     per-fetch latency (not bandwidth) dominates off-chip."""
     all_outs = jax.device_get(
-        [[o for _, _, o in plan if o is not None] for _, _, plan, _ in dispatched]
+        [[o for _, _, o in plan if o is not None] for _, _, plan, _, _ in dispatched]
     )
     out = []
-    for (page, inv, plan, t0), fetched in zip(dispatched, all_outs):
+    for (page, inv, plan, t0, dev), fetched in zip(dispatched, all_outs):
         it = iter(fetched)
         out.append(
             (page, inv,
              [(g, k, next(it) if o is not None else None) for g, k, o in plan],
-             t0)
+             t0, dev)
         )
     return out
 
@@ -407,7 +407,7 @@ class NccMatcher:
                 for g, k, o in per_group
             ]
             hits = self._collect_page(
-                (pages[b], inv[b], plan, t_dispatch), verbose, False, None, struct
+                (pages[b], inv[b], plan, t_dispatch, None), verbose, False, None, struct
             )
             results.append(post(hits) if post is not None else hits)
         return results
@@ -467,13 +467,13 @@ class NccMatcher:
                 cap=_CAP,
             )
             plan.append((grp, "xla", outs))
-        return page, inv, plan, t0
+        return page, inv, plan, t0, device
 
     def _collect_page(
         self, dispatched, verbose: bool, raw: bool, out, struct: bool = False
     ):
         """Phase 2: fetch one page's device results, replay exact f64."""
-        page, inv, plan, t_dispatch = dispatched
+        page, inv, plan, t_dispatch, device = dispatched
         H, W = page.shape
         thr_f32 = np.float32(self.threshold)
         thr_f64 = np.float64(thr_f32)
@@ -507,7 +507,7 @@ class NccMatcher:
                     tables = self._replay_tables(inv)
                 oracle_searcher = self._pallas_group(
                     grp, outs, tables, thr_f64, per_needle,
-                    page, oracle_searcher, verbose, H, W, elapsed,
+                    page, oracle_searcher, verbose, H, W, elapsed, device,
                 )
                 continue
             idx, acc, sp, s2p, counts = (np.asarray(o) for o in outs)
@@ -668,7 +668,7 @@ class NccMatcher:
 
     def _pallas_group(
         self, grp, outs, tables, thr_f64, per_needle,
-        page, oracle_searcher, verbose, H, W, elapsed,
+        page, oracle_searcher, verbose, H, W, elapsed, device=None,
     ):
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
@@ -688,10 +688,17 @@ class NccMatcher:
             # each redo exactly and last-write-wins on the cached cap; a later
             # page that needs more simply regrows
             self._capw[(grp.nh, grp.nw)] = capw_new
-            dev = next(d for g, d in zip(self.groups, self._device_groups()) if g is grp)
-            redo = ncc_ops_pallas_call(
-                jnp.asarray(inv_u8), grp, dev, capw=capw_new
+            # the redo stays on the page's dispatch device: in the mesh
+            # scatter path a default-device redo would re-upload every
+            # group's constants to chip 0 and contend with its sweeps
+            dev = next(
+                d for g, d in zip(self.groups, self._device_groups(device)) if g is grp
             )
+            inv_dev = (
+                jnp.asarray(inv_u8) if device is None
+                else jax.device_put(inv_u8, device)
+            )
+            redo = ncc_ops_pallas_call(inv_dev, grp, dev, capw=capw_new)
             widx, wval, counts, nzw = jax.device_get(redo)
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)

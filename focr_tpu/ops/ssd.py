@@ -66,6 +66,9 @@ def _exact_dot(dot, wins: jax.Array, tmpl: jax.Array, n: int) -> jax.Array:
       n*255*255 < 2^24 (n <= 258)    -> 1 matmul
       n*255*15  < 2^24 (n <= 4385)   -> template nibble split, 2 matmuls
       n*15*15   < 2^24 (n <= 74565)  -> both-operand nibble split, 4 matmuls
+    The 4-matmul recombination itself overflows i32 once the true dot
+    n*255*255 can exceed 2^31 (n > 33026), so that branch combines in i64
+    (partial dots still fit i32; only the cheap elementwise combine widens).
     """
     if n * 65025 < _EXACT_F32_LIMIT:
         return dot(wins, tmpl).astype(jnp.int32)
@@ -78,13 +81,14 @@ def _exact_dot(dot, wins: jax.Array, tmpl: jax.Array, n: int) -> jax.Array:
         f"window of {n} pixels exceeds the exact-bf16 SSD bound (74565); "
         "bit parity cannot be guaranteed"
     )
+    acc_t = jnp.int32 if n * 65025 < 2**31 else jnp.int64
     wi = wins.astype(jnp.int32)
     whi = jnp.right_shift(wi, 4)
     wlo = jnp.bitwise_and(wi, 15)
     return (
-        dot(whi, thi).astype(jnp.int32) * 256
-        + (dot(whi, tlo).astype(jnp.int32) + dot(wlo, thi).astype(jnp.int32)) * 16
-        + dot(wlo, tlo).astype(jnp.int32)
+        dot(whi, thi).astype(acc_t) * 256
+        + (dot(whi, tlo).astype(acc_t) + dot(wlo, thi).astype(acc_t)) * 16
+        + dot(wlo, tlo).astype(acc_t)
     )
 
 

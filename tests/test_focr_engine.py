@@ -174,3 +174,24 @@ def test_single_stream_parity_and_incrementality(mono):
     # streaming: some lines must be yielded BEFORE the last chunk is fetched
     last_fetch = len(events) - 1 - events[::-1].index("fetch")
     assert "yield" in events[:last_fetch], events
+
+
+def test_exact_corr_large_window_no_i32_overflow():
+    """The 4-matmul nibble branch must combine in i64 once the true dot can
+    exceed 2^31 (n > 33026): all-255 operands at K=40000 overflowed the old
+    i32 combine to a negative number inside the certified-exact region."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from focr_tpu.ops.ssd import exact_corr_mat
+
+    for K in (33100, 40000, 74000):
+        w = np.full((2, K), 255, np.uint8)
+        t = np.full((3, K), 255, np.uint8)
+        got = np.asarray(exact_corr_mat(jnp.asarray(w.astype(np.int32)), jnp.asarray(t)))
+        assert (got == K * 255 * 255).all(), (K, int(got[0, 0]))
+    rng = np.random.default_rng(0)
+    w = rng.integers(0, 256, (4, 40000), dtype=np.uint8)
+    t = rng.integers(0, 256, (5, 40000), dtype=np.uint8)
+    got = np.asarray(exact_corr_mat(jnp.asarray(w.astype(np.int32)), jnp.asarray(t)))
+    assert (got == w.astype(np.int64) @ t.astype(np.int64).T).all()

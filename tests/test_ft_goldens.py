@@ -94,9 +94,13 @@ def test_raster_bounds_match_ink_extents(font_key):
     h = HintingOptions()
     sides = np.zeros(0, dtype=np.int64)
     M = 40
+    # TARGET 3000 samples for every font (the 95%-tight assertion below needs
+    # a real sample size); sparse fonts (PyGameMono covers ~6 printable
+    # chars) may exhaust the attempt cap first, so the hard assertion FLOOR
+    # scales with coverage. The loop is cheap (~ms per sample).
     floor = 3000 if covered >= 30 else 120
     attempts = 0
-    while len(sides) < max(floor, 3000) and attempts < 20000:
+    while len(sides) < 3000 and attempts < 20000:
         attempts += 1
         ch = chars[int(rng.integers(len(chars)))]
         gid = face.glyph_for_char(ch)
