@@ -137,3 +137,26 @@ def test_metrics_stderr_dash(capsys):
     cap = capsys.readouterr()
     assert cap.out == ""  # stdout stays data-only
     assert json.loads(cap.err) == {"a": 1}
+
+
+def test_load_gray_pnm_formats(tmp_path):
+    """The reference's image crate enables png+pnm (Cargo.toml:10); load_gray
+    must read PGM/PPM/PBM identically to PNG."""
+    import numpy as np
+    from PIL import Image
+
+    from focr_tpu.io.images import load_gray
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    Image.fromarray(gray).save(tmp_path / "p.png")
+    Image.fromarray(gray).save(tmp_path / "p.pgm")
+    Image.fromarray(np.stack([gray] * 3, -1)).save(tmp_path / "p.ppm")
+    want = load_gray(str(tmp_path / "p.png"))
+    assert np.array_equal(load_gray(str(tmp_path / "p.pgm")), want)
+    # gray RGB -> Rec.709 luma of equal channels == the channel value
+    assert np.array_equal(load_gray(str(tmp_path / "p.ppm")), want)
+    bits = gray > 127
+    Image.fromarray(bits).save(tmp_path / "p.pbm")
+    got = load_gray(str(tmp_path / "p.pbm"))
+    assert np.array_equal(got, np.where(bits, 255, 0).astype(np.uint8))
