@@ -676,14 +676,16 @@ class NccMatcher:
         inv32, inv32_sq, inv_u8 = tables
         if int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX:
             # word-cap overflow below the ceiling: grow this group's capw to
-            # the next power of two covering the MEASURED word count (nzw is
-            # exact) — bounded compiles, and the per-page result fetch stays
-            # sized to the corpus density instead of jumping to the 256KB
-            # ceiling — then re-dispatch THIS page once (an exact device redo
-            # beats per-needle host fallbacks). A denser later page re-grows
-            # the same way.
+            # 1.25x the MEASURED word count (nzw is exact), rounded up to a
+            # 4096-word step — the per-page result fetch stays sized to the
+            # corpus density (the d2h fetch is the ncc pipeline's long pole)
+            # instead of doubling past it, the 25% headroom absorbs page-to-
+            # page density variation, and the step granularity bounds the
+            # number of distinct compiled cap sizes — then re-dispatch THIS
+            # page once (an exact device redo beats per-needle host
+            # fallbacks). A denser later page re-grows the same way.
             need = max(int(nzw[0]), 2 * widx.shape[0])
-            capw_new = min(_CAPW_MAX, 1 << (need - 1).bit_length())
+            capw_new = min(_CAPW_MAX, -(-(need + (need >> 2)) // 4096) * 4096)
             # benign race under page-parallel collect: concurrent overflows
             # each redo exactly and last-write-wins on the cached cap; a later
             # page that needs more simply regrows

@@ -134,9 +134,9 @@ def test_pallas_global_cap_overflow_falls_back(mono_font_path, monkeypatch):
 
 def test_pallas_capw_bump_redo(mono_font_path, monkeypatch):
     """A word-cap overflow below the ceiling re-dispatches once at a
-    power-of-two cap sized to the measured word count and remembers the bump —
-    results identical to the oracle, and the matcher's next dispatch uses the
-    larger cap directly (no further growth on the same page)."""
+    4096-aligned cap sized to 1.25x the measured word count and remembers the
+    bump — results identical to the oracle, and the matcher's next dispatch
+    uses the larger cap directly (no further growth on the same page)."""
     import focr_tpu.models.ncc as ncc_mod
     from focr_tpu.fonts.ft import Face
     from focr_tpu.io.synth import synthesize_page
@@ -153,10 +153,10 @@ def test_pallas_capw_bump_redo(mono_font_path, monkeypatch):
     ho = m.get_hits_oracle(page)
     key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
     assert key(hp) == key(ho)
-    # bump remembered: grown to a power of two covering the measured need
+    # bump remembered: grown to a 4096-aligned cap covering the measured need
     grown = dict(m._capw)
     assert grown and all(
-        2 < c <= ncc_mod._CAPW_MAX and (c & (c - 1)) == 0 for c in grown.values()
+        2 < c <= ncc_mod._CAPW_MAX and c % 4096 == 0 for c in grown.values()
     )
     assert key(m.get_hits(page)) == key(ho)  # second pass: bigger cap directly
     assert m._capw == grown  # sized to need: the same page never re-grows

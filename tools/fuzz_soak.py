@@ -102,6 +102,11 @@ def main() -> int:
             print(f"SEED {seed} FAIL: {e}", flush=True)
         if ran % 25 == 0:
             print(f"... {ran} configs, {fails} failures", flush=True)
+        if ran % 10 == 0:
+            # every config compiles fresh XLA programs; without this the
+            # accumulated jit caches exhaust host memory (observed: LLVM
+            # 'Cannot allocate memory' after ~1h on a 16GB host)
+            jax.clear_caches()
     print(f"DONE: {ran} configs, {fails} failures", flush=True)
     return 1 if fails else 0
 
