@@ -195,3 +195,26 @@ def test_exact_corr_large_window_no_i32_overflow():
     t = rng.integers(0, 256, (5, 40000), dtype=np.uint8)
     got = np.asarray(exact_corr_mat(jnp.asarray(w.astype(np.int32)), jnp.asarray(t)))
     assert (got == w.astype(np.int64) @ t.astype(np.int64).T).all()
+
+
+def test_single_stream_tall_page_bounded_window(mono):
+    """A page with more chunks than the 8-deep in-flight window must decode
+    bit-identically to decode_batch (the window refills as chunks drain)."""
+    import focr_tpu.models.focr as mf
+
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(
+        x_start=2, y_start=3, line_height=12, line_advance=15,
+        width=width_for_cells(mono, ropts, 4),
+    )
+    rng = np.random.default_rng(17)
+    chars = list(ALPHABET)
+    # 24 text rows; rows_per_chunk=1 -> 24+ chunks, 3x the window depth
+    lines = ["".join(rng.choice(chars, size=4)) for _ in range(24)]
+    page = synthesize_page(
+        mono, lines, dopts, ropts, ALPHABET, (24 * 15 + 10, 60), blank_rows={5, 11}
+    )
+    dec = GridDecoder(mono, ALPHABET, dopts, ropts, page.shape)
+    want = dec.decode_batch(page[None])[0]
+    got = list(mf.decode_single_stream(dec, page, rows_per_chunk=1))
+    assert [(l.text, l.y) for l in got] == [(l.text, l.y) for l in want]
