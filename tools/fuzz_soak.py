@@ -2,8 +2,9 @@
 
 Runs random (font-size, grid, alphabet, noise, threshold, box-size, engine)
 configurations for a time budget, asserting on each one that
-  - device-tier hits == NumPy-oracle hits, bit for bit, and
-  - the struct/text post-processing pipelines == the object pipeline.
+  - ncc device-tier hits == NumPy-oracle hits, bit for bit,
+  - the struct/text post-processing pipelines == the object pipeline, and
+  - (every 3rd config) the focr grid decode == the focr NumPy oracle.
 Any mismatch is a bit-parity bug by definition (CLAUDE.md invariant).
 
 Usage: python tools/fuzz_soak.py [seconds=3600]
@@ -97,6 +98,21 @@ def main() -> int:
             assert process_hits_text(struct, anchor, overlap) == [
                 "".join(h.letter for h in ln) for ln in b
             ], "text mismatch"
+            # focr grid decode on the same page vs its oracle (every 3rd
+            # config: the focr oracle is the slow part)
+            if seed % 3 == 0:
+                from focr_tpu.models.focr import GridDecoder
+                from focr_tpu.oracle.focr_oracle import decode_image
+
+                fo = RenderOptions(
+                    size=ropts.size, kern_x=float(rng.choice([1.0, 1.0, 1.15]))
+                )
+                dec = GridDecoder(face, alphabet, dopts, fo, page.shape)
+                got = dec.decode_batch(page[None])[0]
+                want = decode_image(page, face, alphabet, dopts, fo)
+                assert [(l.text, l.y) for l in got] == [
+                    (l.text, l.y) for l in want
+                ], "focr mismatch"
         except AssertionError as e:
             fails += 1
             print(f"SEED {seed} FAIL: {e}", flush=True)
