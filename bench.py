@@ -106,28 +106,13 @@ def bench_focr(face, reps: int) -> tuple[float, dict]:
     return n_pages / best, _spread(times, n_pages)
 
 
-def _line_matches_truth(got: str, want: str) -> bool:
-    """True when `got` equals `want` up to EXTRA copies of a char inside an
-    existing run of that char. With x-bits 2, periodic glyphs legitimately
-    emit anchor-quality subpixel hits > overlap px apart and the reference's
-    run-anchored dedup keeps both ('===' can decode as '====') — see
-    tests/test_ncc_engine.py::test_subpixel_duplicate_chars_are_reference_semantics."""
-    from itertools import groupby
-
-    gr = [(c, sum(1 for _ in g)) for c, g in groupby(got)]
-    wr = [(c, sum(1 for _ in g)) for c, g in groupby(want)]
-    return len(gr) == len(wr) and all(
-        gc == wc and gn >= wn for (gc, gn), (wc, wn) in zip(gr, wr)
-    )
-
-
 def bench_ncc(face, reps: int) -> float:
     """Dense-page ncc corpus (x-bits 2, the README.md:56 workload shape):
     74-letter default alphabet, 4 subpixel offsets, ~tens of thousands of
     raw hits per page; full pipeline = device sweep + exact host replay +
     post-processing into text lines."""
     from focr_tpu.models.ncc import NccMatcher
-    from focr_tpu.models.post import process_hits_text
+    from focr_tpu.models.post import line_matches_truth, process_hits_text
     from focr_tpu.models.types import DecodeOptions, NCC_DEFAULT_ALPHABET, RenderOptions
     from focr_tpu.io.synth import synthesize_page, random_text_lines
 
@@ -151,7 +136,7 @@ def bench_ncc(face, reps: int) -> float:
     decoded = run_all(pages)  # warmup
     for t, got in zip(truths, decoded):
         missing = [
-            ln for ln in t if not any(_line_matches_truth(g, ln) for g in got)
+            ln for ln in t if not any(line_matches_truth(g, ln) for g in got)
         ]
         assert not missing, f"ncc decode parity failure: {missing[:2]}"
 

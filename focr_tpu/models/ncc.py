@@ -342,6 +342,8 @@ class NccMatcher:
             # Dispatch in bounded waves like get_hits_many; each wave fetches
             # in ONE device_get transfer. Results are bit-identical to every
             # other engine tier (same candidate superset + exact host replay).
+            import concurrent.futures as cf
+
             devices = list(mesh.devices.flat)
             wave = 8 * len(devices)
             out: list = []
@@ -351,16 +353,27 @@ class NccMatcher:
                 hits = self._collect_page(d, verbose, False, None, struct)
                 return post(hits) if post is not None else hits
 
-            for s in range(0, len(pages), wave):
-                dispatched = [
-                    self._dispatch_page(p, device=devices[(s + i) % len(devices)])
-                    for i, p in enumerate(pages[s : s + wave])
-                ]
+            # page-parallel collect like get_hits_many: the exact-f64 replay
+            # + fused post would otherwise serialize the whole wave on the
+            # main thread while every chip idles (verbose stays serial for
+            # reference-ordered stderr)
+            with cf.ThreadPoolExecutor(max_workers=4) as cpool:
+                def collect_wave(dispatched) -> list:
+                    fetched = _fetch_plans_many(dispatched)
+                    if verbose:
+                        return [collect(d) for d in fetched]
+                    return list(cpool.map(collect, fetched))
+
+                for s in range(0, len(pages), wave):
+                    dispatched = [
+                        self._dispatch_page(p, device=devices[(s + i) % len(devices)])
+                        for i, p in enumerate(pages[s : s + wave])
+                    ]
+                    if pending is not None:
+                        out.extend(collect_wave(pending))
+                    pending = dispatched
                 if pending is not None:
-                    out.extend(collect(d) for d in _fetch_plans_many(pending))
-                pending = dispatched
-            if pending is not None:
-                out.extend(collect(d) for d in _fetch_plans_many(pending))
+                    out.extend(collect_wave(pending))
             return out
         t_dispatch = time.perf_counter()
         H, W = pages[0].shape

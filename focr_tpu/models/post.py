@@ -221,6 +221,26 @@ def process_hits_text(hs, anchor_threshold: float, overlap: int) -> list[str]:
     return out
 
 
+def line_matches_truth(got: str, want: str) -> bool:
+    """True when ``got`` equals ``want`` up to EXTRA copies of a char inside
+    an existing run of that char.
+
+    With x-bits > 0, periodic glyphs legitimately emit anchor-quality
+    subpixel hits more than ``overlap`` px apart, and the reference's
+    run-anchored dedup keeps both — '===' can decode as '====' on every
+    engine including the reference (pinned by tests/test_ncc_engine.py::
+    test_subpixel_duplicate_chars_are_reference_semantics). Truth-text
+    harnesses (bench.py, tools/soak_tpu.py) use this as their acceptance
+    rule; engine-vs-engine comparisons must stay bit-exact and NOT use it."""
+    from itertools import groupby
+
+    gr = [(c, sum(1 for _ in g)) for c, g in groupby(got)]
+    wr = [(c, sum(1 for _ in g)) for c, g in groupby(want)]
+    return len(gr) == len(wr) and all(
+        gc == wc and gn >= wn for (gc, gn), (wc, wn) in zip(gr, wr)
+    )
+
+
 def _needle_tables(matcher) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-needle (letter, nw, nh) lookup arrays, cached on the matcher."""
     tables = getattr(matcher, "_post_tables", None)

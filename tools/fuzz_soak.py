@@ -113,9 +113,14 @@ def main() -> int:
                 assert [(l.text, l.y) for l in got] == [
                     (l.text, l.y) for l in want
                 ], "focr mismatch"
-        except AssertionError as e:
+        except Exception as e:  # noqa: BLE001 - crash-class bugs are exactly
+            # what a long fuzz exists to find: record the seed and keep going
+            # instead of losing the remaining budget to one traceback
+            import traceback
+
             fails += 1
-            print(f"SEED {seed} FAIL: {e}", flush=True)
+            print(f"SEED {seed} FAIL ({type(e).__name__}): {e}", flush=True)
+            traceback.print_exc()
         if ran % 25 == 0:
             print(f"... {ran} configs, {fails} failures", flush=True)
         if ran % 10 == 0:

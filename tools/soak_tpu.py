@@ -24,7 +24,6 @@ transport measurement traps.
 import os
 import sys
 import time
-from itertools import groupby
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,20 +33,12 @@ FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
 ALPHA = "> =ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
 
 
-def _line_matches_truth(got: str, want: str) -> bool:
-    gr = [(c, sum(1 for _ in g)) for c, g in groupby(got)]
-    wr = [(c, sum(1 for _ in g)) for c, g in groupby(want)]
-    return len(gr) == len(wr) and all(
-        gc == wc and gn >= wn for (gc, gn), (wc, wn) in zip(gr, wr)
-    )
-
-
 def main() -> int:
     from focr_tpu.fonts.ft import Face
     from focr_tpu.io.synth import random_text_lines, synthesize_page
     from focr_tpu.models.focr import GridDecoder, decode_stream
     from focr_tpu.models.ncc import NccMatcher
-    from focr_tpu.models.post import process_hits_text
+    from focr_tpu.models.post import line_matches_truth, process_hits_text
     from focr_tpu.models.types import (
         DecodeOptions,
         NCC_DEFAULT_ALPHABET,
@@ -71,7 +62,17 @@ def main() -> int:
         [synthesize_page(face, t, dopts, ropts, ALPHA, shape) for t in truths]
     )
     dec = GridDecoder(face, ALPHA, dopts, ropts, shape)
-    for _ in decode_stream(dec, pages[:32], 32):  # warmup: compile + caches
+    # warmup on SEPARATE pages: the transport special-cases re-uploads of the
+    # same live buffer (slow) and of identical content (cached-fast), so
+    # warming on any of the measured pages would route part of the timed run
+    # through a non-representative transport path (bench.py uses distinct
+    # live permutations for the same reason)
+    warm = np.stack([
+        synthesize_page(face, random_text_lines(rng, talpha, 48, 77),
+                        dopts, ropts, ALPHA, shape)
+        for _ in range(32)
+    ])
+    for _ in decode_stream(dec, warm, 32):
         pass
     t0 = time.perf_counter()
     out = []
@@ -97,14 +98,19 @@ def main() -> int:
     ]
     matcher = NccMatcher(face, NCC_DEFAULT_ALPHABET, ropts, x_bits=2)
     post = lambda hs: process_hits_text(hs, 0.95, 5)
-    matcher.get_hits_many(npages[:4], struct=True, post=post)  # warmup
+    nwarm = [
+        synthesize_page(face, random_text_lines(rng, NCC_DEFAULT_ALPHABET, 48, 77),
+                        dopts, ropts, NCC_DEFAULT_ALPHABET, shape)
+        for _ in range(4)
+    ]
+    matcher.get_hits_many(nwarm, struct=True, post=post)  # warmup, fresh pages
     t0 = time.perf_counter()
     texts = matcher.get_hits_many(npages, struct=True, post=post)
     dt = time.perf_counter() - t0
     bad = sum(
         1
         for t, got in zip(nt, texts)
-        if any(not any(_line_matches_truth(g, ln) for g in got) for ln in t)
+        if any(not any(line_matches_truth(g, ln) for g in got) for ln in t)
     )
     print(
         f"ncc soak: {n_ncc} pages in {dt:.2f}s = {dt/n_ncc*1e3:.1f} ms/page, "
