@@ -258,3 +258,19 @@ def test_subpixel_duplicate_chars_are_reference_semantics(mono_font_path):
         [page], struct=True, post=lambda hs: process_hits_text(hs, 0.95, 5)
     )
     assert fused == lines
+
+
+def test_line_matches_truth_rules():
+    """Acceptance rule used by bench/soak truth checks: extra copies INSIDE an
+    existing run are tolerated (duplicate-char semantics); anything else is a
+    mismatch."""
+    from focr_tpu.models.post import line_matches_truth as m
+
+    assert m("abc", "abc")
+    assert m("ab==c", "ab=c")  # extra '=' inside the '=' run
+    assert m("aabbcc", "abc")
+    assert not m("abc", "ab==c")  # truth needs MORE than got has
+    assert not m("abdc", "abc")  # new run inserted
+    assert not m("ac", "abc")  # run missing
+    assert not m("abcX", "abc")  # trailing run added
+    assert not m("", "a") and m("", "")
