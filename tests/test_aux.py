@@ -160,3 +160,21 @@ def test_load_gray_pnm_formats(tmp_path):
     Image.fromarray(bits).save(tmp_path / "p.pbm")
     got = load_gray(str(tmp_path / "p.pbm"))
     assert np.array_equal(got, np.where(bits, 255, 0).astype(np.uint8))
+
+
+def test_ncc_metrics_counts_match_object_path(mono_font_path, tmp_path):
+    """--metrics-json lines/hits must be identical whether post-processing ran
+    through the fused text path (default) or the object path (--csv forces
+    it) — hits == decoded characters either way."""
+    from focr_tpu.cli.ncc import main
+
+    p, _ = _synth_page(mono_font_path, ["AB01", "10BA"], tmp_path, "p.png")
+    vals = []
+    for extra in ([], ["--csv"]):
+        metrics = tmp_path / f"m{len(extra)}.json"
+        rc = main(["-i", p, "-f", mono_font_path, "-t", "11", "-a", "AB01",
+                   "--metrics-json", str(metrics), *extra])
+        assert rc == 0
+        m = json.loads(metrics.read_text())
+        vals.append((m["lines"], m["hits"]))
+    assert vals[0] == vals[1] and vals[0][0] >= 2 and vals[0][1] >= 6
