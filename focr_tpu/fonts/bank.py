@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from focr_tpu.fonts.ft import Canvas, Face, RectF
-from focr_tpu.models.types import BoxSize, DecodeOptions, RenderOptions
+from focr_tpu.models.types import BoxSize, RenderOptions
 from focr_tpu.oracle.focr_oracle import advance_px, alphabet_origin
 
 
@@ -152,7 +152,12 @@ def build_grid_bank(
         templates[k, :, :, :w] = canvases[k, :, :, wx0[k] : wx0[k] + w]
 
     t64 = canvases.astype(np.int64)
-    tsq = (t64 * t64).sum(axis=(2, 3)).astype(np.int32)
+    tsq = (t64 * t64).sum(axis=(2, 3))
+    # ||T||^2 exceeds i32 only for very large dense glyphs (>~33k ink px);
+    # keep the compact i32 when safe, widen otherwise (ssd_metric promotes
+    # its combine to i64 in the same regime — a blind cast would wrap)
+    if tsq.max() < 2**31:
+        tsq = tsq.astype(np.int32)
     cache.store_arrays(
         key, {"templates": templates, "tsq": tsq, "wx0": wx0, "positions": positions}
     )

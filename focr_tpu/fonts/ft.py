@@ -348,6 +348,20 @@ class HintingOptions:
             return FT_LOAD_DEFAULT
         return FT_LOAD_NO_HINTING
 
+    def flags_for(self, point_size: float) -> int:
+        """load_flags guarded by the Full(size) contract: font-kit hints the
+        outline at `size` and scales it to point_size; this binding hints at
+        point_size directly, which is equivalent only when the two agree —
+        the reference's sole usage (Full(text_size), main.rs:394-398).
+        Any other combination would silently render different bitmaps, so
+        fail loudly instead."""
+        if self.full and self.size and float(self.size) != float(point_size):
+            raise NotImplementedError(
+                f"Full(size={self.size}) hinting at point_size={point_size} "
+                "is not supported (font-kit hints at `size` then rescales)"
+            )
+        return self.load_flags
+
 
 class Face:
     """A loaded font face with font-kit-compatible query/rasterize methods."""
@@ -473,7 +487,7 @@ class Face:
         tx, ty = translation
         delta = FT_Vector(_to_f26dot6(tx), _to_f26dot6(-ty))
         _ft.FT_Set_Transform(self._face, None, byref(delta))
-        flags = hinting.load_flags | FT_LOAD_NO_BITMAP
+        flags = hinting.flags_for(point_size) | FT_LOAD_NO_BITMAP
         err = _ft.FT_Load_Glyph(self._face, glyph_id, flags)
         if err != 0:
             raise OSError(f"FT_Load_Glyph({glyph_id}) failed: error {err}")

@@ -46,6 +46,13 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
     """
     G, P, crop_h, wbank = bank.templates.shape
     K = crop_h * wbank
+    # the i32 score combine (tsq - 2*accp below) is exact only while the
+    # worst-case |score| bound 3*K*255^2 fits i32; a larger window with
+    # dense ink could silently wrap — fail loudly instead (mirrors the
+    # ssd_metric promotion and the colsq_cum assert in fonts/bank.py)
+    assert 3 * K * 65025 < 2**31, (
+        f"prop window of {K} px exceeds the exact-i32 score bound (11008)"
+    )
     tmat = jnp.asarray(bank.templates.reshape(G * P, K))
     csq = jnp.asarray(bank.colsq_cum)  # [G, P, wbank+1] i32
     adv = jnp.asarray(bank.advances)  # [G] f32

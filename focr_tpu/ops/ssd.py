@@ -132,8 +132,16 @@ def exact_corr_mat(wins: jax.Array, tmpl: jax.Array) -> jax.Array:
 
 
 def ssd_metric(wins: jax.Array, tmpl: jax.Array, tsq: jax.Array) -> jax.Array:
-    """[B, R, C, G] i32 metric = ||T||^2 - 2 I.T (equi-argmin with full SSD)."""
-    return tsq[None, None] - 2 * exact_corr(wins, tmpl)
+    """[B, R, C, G] metric = ||T||^2 - 2 I.T (equi-argmin with full SSD).
+
+    i32 while the worst-case |metric| bound 3*n*255^2 fits (n <= 11008);
+    beyond that a dense-ink window/template pair could silently wrap the i32
+    subtraction, so the combine widens to i64 (the matmuls are unchanged)."""
+    n = tmpl.shape[-2] * tmpl.shape[-1]
+    corr = exact_corr(wins, tmpl)
+    if 3 * n * 65025 >= 2**31:
+        return tsq[None, None].astype(jnp.int64) - 2 * corr.astype(jnp.int64)
+    return tsq[None, None].astype(jnp.int32) - 2 * corr
 
 
 def argmin_glyph(metric: jax.Array) -> jax.Array:

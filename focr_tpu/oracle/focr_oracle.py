@@ -67,9 +67,16 @@ def render_string(face: Face, text: str, opts: RenderOptions) -> Canvas:
 
     size = bounds.round()
     canvas = Canvas(size.width, size.height)
-    ox, oy = -bounds.x0, -bounds.y0
+    # compose translations in f32 explicitly (font-kit's Transform2F adds are
+    # f32; relying on NEP-50 weak promotion would silently become f64 — and
+    # a different 1/64-px quantization — under numpy 1.x)
+    ox, oy = np.float32(-bounds.x0), np.float32(-bounds.y0)
     for gid, px, py in glyph_pos:
-        face.rasterize_glyph(canvas, gid, opts.size, (ox + float(px), oy + float(py)), opts.hinting)
+        face.rasterize_glyph(
+            canvas, gid, opts.size,
+            (float(ox + np.float32(px)), float(oy + np.float32(py))),
+            opts.hinting,
+        )
     return canvas
 
 

@@ -15,8 +15,16 @@ semantics (reference src/ncc.rs:128-483, src/ncc.cpp:48-396) exactly:
   * per-row [start, end) whitespace skip bounds            (ncc.rs:279-305)
   * patch_sum / patch_rnorm precompute, f64                (ncc.rs:306-312)
   * C-kernel similarity:  sim = (acc - (s_n*s_p)*(1/n)) * rnorm_n * rnorm_p
-    all f64, non-fused; emit iff sim != +inf && sim > threshold
-    (ncc.cpp:233-247 scalar tail; ncc.cpp:206-220 vector path)
+    all f64, unfused, via n_recip — the reference C kernel's SCALAR-TAIL
+    formula (ncc.cpp:233-247). NOTE the reference is internally inconsistent
+    at the 1-ulp level: its vector lanes fuse the same expression with
+    _mm256_fnmadd_pd (ncc.cpp:212, single rounding), and its own `--rust`
+    differential kernel divides instead (`acc - s_n*s_p / n`, ncc.rs:457) —
+    so the reference binary's sims depend on which lane processed a given x.
+    This rebuild picks the scalar-tail formula ONCE and applies it in every
+    tier (oracle, C++ native built -ffp-contract=off, device replay), so all
+    tiers agree bit-for-bit with each other and with the reference's scalar
+    lanes; emit iff sim != +inf && sim > threshold
   * scan-order truncation at MAX_MATCHES with a WARN        (ncc.cpp:222-229,
     ncc.rs:395-397)
 """
@@ -60,12 +68,20 @@ def sumsqr_table(pixels: np.ndarray) -> np.ndarray:
 
 
 def rect_sum_nz(table: np.ndarray, x: int, y: int, w: int, h: int) -> int:
-    """table rect sum for x,y >= 1 (`*_sum_nz`, ncc.rs:976-983, 1006-1013)."""
-    a = int(table[y + h - 1, x + w - 1])
-    b = int(table[y + h - 1, x - 1])
-    c = int(table[y - 1, x + w - 1])
-    d = int(table[y - 1, x - 1])
-    return a - b + d - c
+    """table rect sum for x,y >= 1 (`*_sum_nz`, ncc.rs:976-983, 1006-1013).
+
+    Computed in the TABLE's dtype so overflow wraps and then cancels, exactly
+    like the reference's `as u32` truncation (ncc.rs:977-984) / u64 wrapping
+    arithmetic: the prefix tables may wrap on huge dark pages, but the true
+    window sum always fits the dtype, so the wrapped difference is exact.
+    Widening to python ints BEFORE differencing would instead be off by
+    k*2^32 whenever the u32 table has wrapped."""
+    a = table[y + h - 1, x + w - 1]
+    b = table[y + h - 1, x - 1]
+    c = table[y - 1, x + w - 1]
+    d = table[y - 1, x - 1]
+    with np.errstate(over="ignore"):  # the wrap IS the semantics
+        return int(a - b + d - c)
 
 
 @dataclass
@@ -81,6 +97,8 @@ class Searcher:
     def __init__(self, img: np.ndarray):
         assert img.dtype == np.uint8 and img.ndim == 2
         self.reference = invert_u8(img)
+        self._ref64 = self.reference.astype(np.int64)  # search() reads this
+        # per needle; converting per call would churn H*W*8 bytes each time
         self.h, self.w = self.reference.shape
         self.sum_table = sum_table(self.reference)
         self.sumsqr_table = sumsqr_table(self.reference)
@@ -96,22 +114,27 @@ class Searcher:
         x_searches = self.w - n_w + 1
         y_searches = self.h - n_h + 1
 
-        # Vectorized rect sums for all (x, y) with x,y >= 1.
+        # Vectorized rect sums for all (x, y) with x,y >= 1, differenced in
+        # the tables' own dtypes so prefix-sum overflow wraps and cancels —
+        # the reference's `as u32` truncation / u64 wrapping (ncc.rs:977-984,
+        # 1006-1013). A u32 table wraps once total inverted ink exceeds 2^32
+        # (~16.8M fully-dark pixels, i.e. large dark scans); widening before
+        # differencing would make sp wrong by k*2^32 there.
         ys = np.arange(1, y_searches)
         xs = np.arange(1, x_searches)
-        T = self.sum_table.astype(np.int64)
+        T = self.sum_table  # u32, wrapping
         a = T[np.ix_(ys + n_h - 1, xs + n_w - 1)]
         b = T[np.ix_(ys + n_h - 1, xs - 1)]
         c = T[np.ix_(ys - 1, xs + n_w - 1)]
         d = T[np.ix_(ys - 1, xs - 1)]
-        sp = a - b + d - c  # [y_searches-1, x_searches-1] exact window sums
+        sp = (a - b + d - c).astype(np.int64)  # exact: true sums fit u32
 
-        T2 = self.sumsqr_table.astype(np.int64)
+        T2 = self.sumsqr_table  # u64, wrapping
         a2 = T2[np.ix_(ys + n_h - 1, xs + n_w - 1)]
         b2 = T2[np.ix_(ys + n_h - 1, xs - 1)]
         c2 = T2[np.ix_(ys - 1, xs + n_w - 1)]
         d2 = T2[np.ix_(ys - 1, xs - 1)]
-        s2p = a2 - b2 + d2 - c2
+        s2p = (a2 - b2 + d2 - c2).astype(np.int64)
 
         start_end = np.zeros((self.h, 2), dtype=np.int64)
         patch_sum = np.zeros((self.h, self.w), dtype=np.int64)
@@ -169,7 +192,7 @@ class Searcher:
 
         y_searches = self.h - n_h + 1
         matches: list[Match] = []
-        ref = self.reference.astype(np.int64)
+        ref = self._ref64
         capped = False
         for y in range(1, y_searches):
             start, end = int(prep.start_end[y, 0]), int(prep.start_end[y, 1])

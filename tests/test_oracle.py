@@ -135,3 +135,29 @@ def test_searcher_cap(capsys):
     assert len(got) == MAX_MATCHES
     first = got[0]
     assert (first.x, first.y) == (1, 1)
+
+
+def test_integral_table_wrap_on_huge_dark_page():
+    """The u32 sum_table wraps once total inverted ink exceeds 2^32 (~16.8M
+    dark pixels); the reference's `as u32` truncation cancels the wrap
+    (ncc.rs:977-984), so window sums must stay exact. Widening the table to
+    int64 BEFORE differencing (the old bug) yields sums off by k*2^32."""
+    import numpy as np
+
+    from focr_tpu.oracle.ncc_oracle import Searcher, rect_sum_nz
+
+    H = W = 4200  # 17.6M px, all ink after inversion -> table wraps u32
+    page = np.zeros((H, W), dtype=np.uint8)  # black page -> inverted 255
+    s = Searcher(page)
+    assert int(s.sum_table[-1, -1]) != 255 * H * W % (1 << 64)  # really wrapped
+    assert (255 * H * W) >= (1 << 32)
+    prep = s.prepare_for_size(8, 8)
+    want = 255 * 64
+    # rows far enough down that the table has wrapped by then
+    for y in (1, H // 2, H - 8):
+        st, en = int(prep.start_end[y, 0]), int(prep.start_end[y, 1])
+        assert st == 1 and en == W - 8 + 1
+        assert int(prep.patch_sum[y, st]) == want
+        assert int(prep.patch_sum[y, en - 1]) == want
+    assert rect_sum_nz(s.sum_table, W - 8, H - 8, 8, 8) == want
+    assert rect_sum_nz(s.sumsqr_table, W - 8, H - 8, 8, 8) == 255 * 255 * 64
