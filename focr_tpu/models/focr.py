@@ -269,10 +269,10 @@ class GridDecoder:
         """Upload + enqueue the device work for one batch (async dispatch)."""
         n = pages.shape[0]
         if self.mesh is not None:
-            from focr_tpu.parallel.mesh import pad_batch, pages_sharding
+            from focr_tpu.parallel.mesh import pad_batch, pages_sharding, put_global
 
             pages, _ = pad_batch(pages, self.mesh.size)
-            pages_j = jax.device_put(jnp.asarray(pages), pages_sharding(self.mesh))
+            pages_j = put_global(pages, pages_sharding(self.mesh))
             return (n, [fn(pages_j) for _, fn in self.groups])
         # single chip: crop scan strips on host, upload only those bytes as
         # ONE flat buffer (filled in place — no second memcpy), run every row
@@ -289,8 +289,13 @@ class GridDecoder:
 
     def _finish(self, outs) -> list[list[DecodedLine]]:
         """Force one batch's device results and assemble text lines."""
+        from focr_tpu.parallel.mesh import fetch_global
+
         n, group_outs = outs
-        fetched = jax.device_get(group_outs)  # one transfer for every group
+        # one transfer for every group; under multi-host, non-addressable
+        # shards come back via the §5.8 gather (fetch_global) instead of a
+        # bare device_get that would throw on them
+        fetched = fetch_global(group_outs)
         per_row: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # y -> (ids [B,C], white [B])
         for (grp, _), (ids, white) in zip(self.groups, fetched):
             # mesh padding: trim white filler pages back off the batch

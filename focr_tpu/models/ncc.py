@@ -16,6 +16,7 @@ Per page:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from dataclasses import dataclass
@@ -38,6 +39,27 @@ def ncc_ops_pallas_call(inv_j, grp, dev, capw: int):
     interpret = jax.default_backend() != "tpu"
     bank_j, s_n_j, s2_n_j, thr_j = dev
     return pallas_ncc.ncc_candidates_pallas(
+        inv_j,
+        bank_j,
+        s_n_j,
+        s2_n_j,
+        thr_j,
+        nw=grp.nw,
+        nh=grp.nh,
+        capw=capw,
+        interpret=interpret,
+    )
+
+
+def ncc_ops_pallas_call_batch(inv_j, grp, dev, capw: int):
+    """Batched-page variant: ONE kernel dispatch sweeps a [B, H, W] wave
+    (page axis = outermost grid dim) and returns [B, ...] result buffers, so
+    a wave costs one dispatch + one fetch per size group instead of B of
+    each — off-chip the per-call round trip dominates (the reference instead
+    fans pages out with rayon, ncc.rs:839-847)."""
+    interpret = jax.default_backend() != "tpu"
+    bank_j, s_n_j, s2_n_j, thr_j = dev
+    return pallas_ncc.ncc_candidates_pallas_batch(
         inv_j,
         bank_j,
         s_n_j,
@@ -110,29 +132,11 @@ class HitStruct:
         return out
 
 
-def _fetch_plans_many(dispatched: list) -> list:
-    """Fetch every page's device outputs in ONE jax.device_get wave.
-
-    device_get issues async copy_to_host for all leaves before blocking, so
-    the whole corpus costs one transfer round trip instead of one per array —
-    per-fetch latency (not bandwidth) dominates off-chip."""
-    all_outs = jax.device_get(
-        [[o for _, _, o in plan if o is not None] for _, _, plan, _, _ in dispatched]
-    )
-    out = []
-    for (page, inv, plan, t0, dev), fetched in zip(dispatched, all_outs):
-        it = iter(fetched)
-        out.append(
-            (page, inv,
-             [(g, k, next(it) if o is not None else None) for g, k, o in plan],
-             t0, dev)
-        )
-    return out
-
-
-def _fetch_plans(dispatched) -> tuple:
-    """Single-page variant of _fetch_plans_many."""
-    return _fetch_plans_many([dispatched])[0]
+def _wave_size() -> int:
+    """Pages per batched dispatch wave. 32 keeps the stacked u8 upload under
+    the transport's ~32MB single-transfer knee for letter-size pages while
+    amortizing the per-wave dispatch+fetch round trips ~32x."""
+    return int(os.environ.get("FOCR_NCC_WAVE", "32"))
 
 
 def _host_searcher(page: np.ndarray):
@@ -265,7 +269,7 @@ class NccMatcher:
         """Device search + exact host recheck; hits in reference order
         (get_hits, ncc.rs:544-721)."""
         return self._collect_page(
-            _fetch_plans(self._dispatch_page(page)), verbose, raw, out
+            self._fetch_wave(self._dispatch_wave([page]))[0], verbose, raw, out
         )
 
     def get_hits_many(
@@ -287,7 +291,7 @@ class NccMatcher:
         overlaps post-processing with the next wave's transfer."""
         import concurrent.futures as cf
 
-        wave = 8
+        wave = _wave_size()
         out: list = []
         # a worker thread blocks on each wave's device_get so the transfer of
         # wave k overlaps the host replay of wave k-1; the replay itself runs
@@ -309,12 +313,8 @@ class NccMatcher:
 
             pending: cf.Future | None = None
             for s in range(0, len(pages), wave):
-                batch = pages[s : s + wave]
-                dispatched = [
-                    self._dispatch_page(p, pre=pre)
-                    for p, pre in zip(batch, self._upload_wave(batch))
-                ]
-                fut = pool.submit(_fetch_plans_many, dispatched)
+                dispatched = self._dispatch_wave(pages[s : s + wave])
+                fut = pool.submit(self._fetch_wave, dispatched)
                 if pending is not None:
                     out.extend(collect_wave(pending.result()))
                 pending = fut
@@ -334,18 +334,31 @@ class NccMatcher:
 
         if not pages:
             return []
-        if self.device_kernel == "pallas":
-            # host-side scatter: each page's whole sweep (Pallas kernel +
-            # constants) is pinned to one of the mesh's devices, round-robin —
-            # the same data parallelism as the shard_map XLA path, but every
-            # chip runs the fused single-chip kernel (the 2.8x-faster tier).
-            # Dispatch in bounded waves like get_hits_many; each wave fetches
-            # in ONE device_get transfer. Results are bit-identical to every
+        if self.device_kernel == "pallas" and jax.process_count() > 1:
+            # the scatter below device_puts to mesh devices directly, which
+            # only addresses THIS process's chips — under multi-host, take
+            # the shard_map XLA path (put_global/fetch_global handle the
+            # non-addressable shards) rather than silently searching a
+            # fraction of each wave
+            print(
+                "focr_tpu: multi-host run: using the sharded XLA ncc path "
+                "(host-side Pallas scatter is single-process)",
+                file=sys.stderr,
+            )
+        elif self.device_kernel == "pallas":
+            # host-side scatter: each device gets a round-robin SUB-BATCH of
+            # the wave (pages d, d+D, d+2D, ... for device d) and sweeps it
+            # with the batched Pallas kernel — the same data parallelism as
+            # the shard_map XLA path, but every chip runs the fused
+            # single-chip kernel (the 2.8x-faster tier) over its whole
+            # sub-batch in one dispatch. Each wave fetches in ONE device_get
+            # transfer across all devices. Results are bit-identical to every
             # other engine tier (same candidate superset + exact host replay).
             import concurrent.futures as cf
 
             devices = list(mesh.devices.flat)
-            wave = 8 * len(devices)
+            D = len(devices)
+            wave = _wave_size() * D
             out: list = []
             pending = None
 
@@ -353,28 +366,42 @@ class NccMatcher:
                 hits = self._collect_page(d, verbose, False, None, struct)
                 return post(hits) if post is not None else hits
 
+            def fetch_scatter(disp):
+                # restore corpus page order from the round-robin deal
+                sub_waves, n_sub = disp
+                per_dev = self._fetch_waves([w for _, w in sub_waves])
+                merged: list = [None] * n_sub
+                for (d, _), fetched in zip(sub_waves, per_dev):
+                    for k, tup in enumerate(fetched):
+                        merged[d + k * D] = tup
+                return merged
+
             # page-parallel collect like get_hits_many: the exact-f64 replay
             # + fused post would otherwise serialize the whole wave on the
             # main thread while every chip idles (verbose stays serial for
             # reference-ordered stderr)
             with cf.ThreadPoolExecutor(max_workers=4) as cpool:
-                def collect_wave(dispatched) -> list:
-                    fetched = _fetch_plans_many(dispatched)
+                def collect_wave(disp) -> list:
+                    fetched = fetch_scatter(disp)
                     if verbose:
                         return [collect(d) for d in fetched]
                     return list(cpool.map(collect, fetched))
 
                 for s in range(0, len(pages), wave):
-                    dispatched = [
-                        self._dispatch_page(p, device=devices[(s + i) % len(devices)])
-                        for i, p in enumerate(pages[s : s + wave])
+                    sub = pages[s : s + wave]
+                    sub_waves = [
+                        (d, self._dispatch_wave(sub[d::D], device=devices[d]))
+                        for d in range(D)
+                        if sub[d::D]
                     ]
                     if pending is not None:
                         out.extend(collect_wave(pending))
-                    pending = dispatched
+                    pending = (sub_waves, len(sub))
                 if pending is not None:
                     out.extend(collect_wave(pending))
             return out
+        from focr_tpu.parallel.mesh import fetch_global, pages_sharding, put_global
+
         t_dispatch = time.perf_counter()
         H, W = pages[0].shape
         assert all(p.shape == (H, W) for p in pages), "bucket pages by shape first"
@@ -390,7 +417,7 @@ class NccMatcher:
             )
         else:
             inv_p = inv
-        inv_j = jnp.asarray(inv_p)
+        inv_j = put_global(inv_p, pages_sharding(mesh))
 
         group_outs: list[tuple[_Group, str, object]] = []
         for gi, grp in enumerate(self.groups):
@@ -407,9 +434,9 @@ class NccMatcher:
                 self._sharded_fns[(id(mesh), gi)] = fn
             group_outs.append((grp, "xla", fn(inv_j)))
 
-        fetched = jax.device_get(
+        fetched = fetch_global(
             [o for _, k, o in group_outs if o is not None]
-        )  # one transfer wave for the whole corpus
+        )  # one transfer wave for the whole corpus (multi-host: §5.8 gather)
         it = iter(fetched)
         per_group = [(g, k, next(it) if o is not None else None) for g, k, o in group_outs]
 
@@ -425,62 +452,117 @@ class NccMatcher:
             results.append(post(hits) if post is not None else hits)
         return results
 
-    @staticmethod
-    def _upload_wave(batch: list[np.ndarray]):
-        """Invert + upload one wave of pages with ONE host->device transfer
-        per page shape (per-page uploads pay a transport round trip each);
-        yields (inv_host, inv_dev) pairs in page order. Device slices of the
-        stacked upload feed the kernels unchanged."""
+    def _dispatch_wave(self, batch: list[np.ndarray], device=None):
+        """Phase 1 for a WHOLE wave of pages: one stacked u8 upload per page
+        shape and ONE batched Pallas dispatch per (shape bucket × size
+        group), so a wave of B pages costs a handful of device calls instead
+        of B × groups — the per-call round trip is the dominant off-chip
+        cost (the reference amortizes differently: rayon threads,
+        ncc.rs:839-847). The page axis is padded to the next power of two
+        with inverted-white zero pages (Σp == 0 ⇒ zero candidates) so the
+        number of compiled batch sizes stays logarithmic in the wave size.
+
+        ``device`` pins the wave's sweeps to one chip (the mesh scatter
+        path); None uses the default device. Returns an opaque wave object
+        for _fetch_wave(s)."""
+        t0 = time.perf_counter()
         by_shape: dict[tuple[int, int], list[int]] = {}
         for i, p in enumerate(batch):
             by_shape.setdefault(p.shape, []).append(i)
-        pre: list = [None] * len(batch)
-        for idxs in by_shape.values():
-            inv_all = (255 - np.stack([batch[i] for i in idxs]).astype(np.int32)).astype(
-                np.uint8
+        buckets = []
+        for (H, W), idxs in by_shape.items():
+            inv_all = (
+                255 - np.stack([batch[i] for i in idxs]).astype(np.int32)
+            ).astype(np.uint8)
+            B = len(idxs)
+            Bp = 1 << (B - 1).bit_length()  # next power of two >= B
+            inv_pad = (
+                inv_all
+                if Bp == B
+                else np.concatenate(
+                    [inv_all, np.zeros((Bp - B, H, W), np.uint8)]
+                )
             )
-            inv_j_all = jnp.asarray(inv_all)
-            for k, i in enumerate(idxs):
-                pre[i] = (inv_all[k], inv_j_all[k])
-        return pre
+            inv_j = (
+                jnp.asarray(inv_pad)
+                if device is None
+                else jax.device_put(inv_pad, device)
+            )
+            plans: list[tuple[_Group, str, object]] = []
+            for grp, dev in zip(self.groups, self._device_groups(device)):
+                if grp.nh >= H or grp.nw >= W:
+                    plans.append((grp, "empty", None))
+                    continue
+                if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
+                    H, W, grp.nw, grp.nh, self.threshold
+                ):
+                    capw = self._capw.get((grp.nh, grp.nw), _CAPW_START)
+                    outs = ncc_ops_pallas_call_batch(inv_j, grp, dev, capw=capw)
+                    plans.append((grp, "pallas", outs))
+                    continue
+                bank_j, s_n_j, s2_n_j, thr_j = dev
+                # XLA fallback stays per page (device-side slices of the one
+                # stacked upload; no extra host->device transfers)
+                outs = [
+                    ncc_ops.ncc_candidates(
+                        inv_j[k],
+                        bank_j,
+                        s_n_j,
+                        s2_n_j,
+                        thr_j,
+                        nw=grp.nw,
+                        nh=grp.nh,
+                        cap=_CAP,
+                    )
+                    for k in range(B)
+                ]
+                plans.append((grp, "xla", outs))
+            buckets.append((idxs, inv_all, plans))
+        return batch, buckets, t0, device
 
-    def _dispatch_page(self, page: np.ndarray, device=None, pre=None):
-        """Phase 1: enqueue all device work for one page; nothing is fetched.
-        ``device`` pins the page's sweeps to one chip (the mesh scatter path);
-        None uses the default device. ``pre`` supplies an already-uploaded
-        (inv_host, inv_dev) pair from _upload_wave."""
-        t0 = time.perf_counter()
-        H, W = page.shape
-        if pre is not None:
-            inv, inv_j = pre
-        else:
-            inv = (255 - page.astype(np.int32)).astype(np.uint8)
-            inv_j = jnp.asarray(inv) if device is None else jax.device_put(inv, device)
-        plan: list[tuple[_Group, str, object]] = []
-        for grp, dev in zip(self.groups, self._device_groups(device)):
-            if grp.nh >= H or grp.nw >= W:
-                plan.append((grp, "empty", None))
-                continue
-            if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
-                H, W, grp.nw, grp.nh, self.threshold
-            ):
-                capw = self._capw.get((grp.nh, grp.nw), _CAPW_START)
-                outs = ncc_ops_pallas_call(inv_j, grp, dev, capw=capw)
-                plan.append((grp, "pallas", outs))
-                continue
-            bank_j, s_n_j, s2_n_j, thr_j = dev
-            outs = ncc_ops.ncc_candidates(
-                inv_j,
-                bank_j,
-                s_n_j,
-                s2_n_j,
-                thr_j,
-                nw=grp.nw,
-                nh=grp.nh,
-                cap=_CAP,
-            )
-            plan.append((grp, "xla", outs))
-        return page, inv, plan, t0, device
+    def _fetch_waves(self, waves: list) -> list[list]:
+        """Phase 2 transfer: fetch EVERY wave's device outputs in ONE
+        jax.device_get (it issues async copy_to_host for all leaves before
+        blocking, so the whole fetch costs one transfer round trip — per-call
+        latency, not bandwidth, dominates off-chip), then split the batched
+        [B, ...] buffers into per-page plan tuples for _collect_page."""
+        leaves: list = []
+        for _, buckets, _, _ in waves:
+            for _, _, plans in buckets:
+                for _, kind, outs in plans:
+                    if kind == "pallas":
+                        leaves.append(outs)
+                    elif kind == "xla":
+                        leaves.extend(outs)
+        fetched = jax.device_get(leaves)
+        it = iter(fetched)
+        out: list[list] = []
+        for batch, buckets, t0, device in waves:
+            per_page: list = [None] * len(batch)
+            for idxs, inv_all, plans in buckets:
+                page_plans: list[list] = [[] for _ in idxs]
+                for grp, kind, _ in plans:
+                    if kind == "empty":
+                        for pp in page_plans:
+                            pp.append((grp, "empty", None))
+                    elif kind == "pallas":
+                        widx, wval, counts, nzw = next(it)
+                        for k, pp in enumerate(page_plans):
+                            pp.append(
+                                (grp, "pallas",
+                                 (widx[k], wval[k], counts[k], nzw[k : k + 1]))
+                            )
+                    else:
+                        for pp in page_plans:
+                            pp.append((grp, "xla", next(it)))
+                for k, i in enumerate(idxs):
+                    per_page[i] = (batch[i], inv_all[k], page_plans[k], t0, device)
+            out.append(per_page)
+        return out
+
+    def _fetch_wave(self, wave) -> list:
+        """Single-wave variant of _fetch_waves."""
+        return self._fetch_waves([wave])[0]
 
     def _collect_page(
         self, dispatched, verbose: bool, raw: bool, out, struct: bool = False

@@ -38,26 +38,30 @@ _TTILE = 128  # needles per grid step: full MXU m-dim (measured 2x vs 64)
 
 def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
             gmat_ref, bytes_ref, counts_ref, win_ref, *, nw, nh, W1, Hs, n):
-    """Kernel body; grid is (needle_tile, window_row) — one window row of one
-    _TTILE-needle tile per step (no in-kernel loop: Mosaic's fori_loop
-    lowering is fragile, and the sequential-grid accumulation pattern is the
-    idiomatic TPU form anyway).
+    """Kernel body; grid is (page, needle_tile, window_row) — one window row
+    of one _TTILE-needle tile of one page per step (no in-kernel loop:
+    Mosaic's fori_loop lowering is fragile, and the sequential-grid
+    accumulation pattern is the idiomatic TPU form anyway). The page axis is
+    outermost so a whole corpus wave runs as ONE dispatch (the reference
+    fans pages out with rayon, ncc.rs:839-847; off-chip the per-dispatch
+    round trip dominates, so batching pages into the grid is the TPU form).
 
     thr    [1, 1]       f32  (threshold - ε), SMEM
-    img    [Hp, Wp]     f32  inverted page, zero-padded (u8 values: exact);
-                             whole-array VMEM block, resident across rows
+    img    [1, Hp, Wp]  f32  inverted page b, zero-padded (u8 values: exact);
+                             whole-page VMEM block, resident across rows
     ndm    [Tt, K]      f32  needle-tile rows, flattened (K = nh*nw)
-    sp     [Hs8, W1]    f32  window Σp  (row 0 zeroed => y=0 excluded)
-    s2p    [Hs8, W1]    f32  window Σp²
+    sp     [1, Hs8, W1] f32  page-b window Σp  (row 0 zeroed => y=0 excluded)
+    s2p    [1, Hs8, W1] f32  page-b window Σp²
     sn_n   [Tt, 1]      f32  needle Σ / n
     n2n    [Tt, 1]      f32  needle norm² = Σn² - (Σn)²/n
     gmat   [W1, W1/8]   f32  bit-packing matrix: G[x, g] = 2^(x%8) · [x//8 == g]
-    bytes  [1, Tt, W1/8] u8 out block at (y, tile, 0) — mask bytes (byte g
-           packs x in [8g, 8g+8)); y leads so the store inserts a LEADING dim,
-           which is layout-trivial for Mosaic (a middle-dim insert on i8 is not)
-    counts [Tt, 1]      i32 out — candidate bits per needle; block index is
+    bytes  [1, 1, Tt, W1/8] u8 out block at (b, y, tile, 0) — mask bytes
+           (byte g packs x in [8g, 8g+8)); b/y lead so the store inserts
+           LEADING dims, which is layout-trivial for Mosaic (a middle-dim
+           insert on i8 is not)
+    counts [1, Tt, 1]   i32 out — candidate bits per needle; block index is
            constant in y (innermost grid dim) => stays VMEM-resident and
-           accumulates across rows, written back once per tile
+           accumulates across rows, written back once per (page, tile)
     win    [K, W1]      bf16 scratch — im2col rows
 
     The per-row pipeline is two MXU dots: the correlation
@@ -65,7 +69,7 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
     as a matmul sidesteps Mosaic's reshape/relayout restrictions (sums of
     distinct powers of two ≤ 255 are exact in bf16×bf16→f32).
     """
-    y = pl.program_id(1)
+    y = pl.program_id(2)
     ndm = ndm_ref[:].astype(jnp.bfloat16)
     gmat = gmat_ref[:].astype(jnp.bfloat16)
     sn_n = sn_n_ref[:, 0]  # [Tt]
@@ -77,21 +81,21 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
 
     @pl.when(y == 0)
     def _init():
-        counts_ref[:, :] = jnp.zeros_like(counts_ref)
+        counts_ref[:, :, :] = jnp.zeros_like(counts_ref)
 
     # im2col for ONE window row: win[k, x] = img[y+dy, x+dx], k = dy*nw+dx.
     # Built via per-slice STORES into VMEM scratch — stores relayout the
     # lane-offset slices to offset 0; a sublane concat of them does not
     # lower ("offset mismatch on non-concat dimension").
     for dy in range(nh):
-        row = img_ref[pl.ds(y + dy, 1), :].astype(jnp.bfloat16)  # [1, Wp]
+        row = img_ref[0, pl.ds(y + dy, 1), :].astype(jnp.bfloat16)  # [1, Wp]
         for dx in range(nw):
             win_ref[pl.ds(dy * nw + dx, 1), :] = row[:, dx : dx + W1]
     win = win_ref[:]  # [K, W1]
     acc = jnp.dot(ndm, win, preferred_element_type=jnp.float32)  # [Tt, W1]
 
-    sp = sp_ref[pl.ds(y, 1), :]  # [1, W1]
-    s2p = s2p_ref[pl.ds(y, 1), :]
+    sp = sp_ref[0, pl.ds(y, 1), :]  # [1, W1]
+    s2p = s2p_ref[0, pl.ds(y, 1), :]
     norm2p = s2p - sp * sp * jnp.float32(1.0 / n)
     num = acc - sn_n[:, None] * sp
     # certified LOWER-bound denominator: norm2p can round ABOVE its exact
@@ -116,74 +120,52 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
     packed = jnp.dot(
         keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
     )  # [Tt, W1/8] — exact byte values 0..255
-    bytes_ref[:, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)[None, :, :]
-    counts_ref[:, :] = counts_ref[:, :] + keepf.sum(
+    bytes_ref[:, :, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)[None, None]
+    counts_ref[:, :, :] = counts_ref[:, :, :] + keepf.sum(
         axis=1, keepdims=True
-    ).astype(jnp.int32)
+    ).astype(jnp.int32)[None]
 
 
-def _pad_to(a: jax.Array, rows: int, cols: int) -> jax.Array:
-    return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+def _pad_to_b(a: jax.Array, rows: int, cols: int) -> jax.Array:
+    """Pad the trailing two dims of [B, H, W] up to (rows, cols)."""
+    return jnp.pad(a, ((0, 0), (0, rows - a.shape[1]), (0, cols - a.shape[2])))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
-)
-def ncc_candidates_pallas(
-    img: jax.Array,  # [H, W] inverted page (u8/i32 values 0..255)
+def _candidates_impl(
+    imgs: jax.Array,  # [B, H, W] inverted pages (u8/i32 values 0..255)
     needles: jax.Array,  # [T, nh, nw] u8
     s_n: jax.Array,  # [T] i64 needle sums
     s2_n: jax.Array,  # [T] i64 needle sum-of-squares
     threshold: jax.Array,  # f32 scalar
-    *,
     nw: int,
     nh: int,
     capw: int,
-    eps: float = 1e-3,
-    interpret: bool = False,
+    eps: float,
+    interpret: bool,
 ):
-    """Pallas-backed candidate search for one needle-size group.
-
-    Returns (word_idx, word_val, counts, nz_words):
-      word_idx [capw] i32 — ascending GLOBAL linear indices of the first capw
-               nonzero 32-bit mask words across ALL needles; index g belongs
-               to needle t = g // (Hs8*WW), and its word w = g % (Hs8*WW)
-               covers window columns x in [(w % WW)*32, …+32) of row
-               y = w // WW, where WW = W1/32 and W1 is the padded
-               window-column count (= word_stride(W, nw) * 32). -1 padded.
-               Ascending global order == (needle, scan-order) grouping, so
-               the caller splits per needle with one searchsorted.
-      word_val [capw] i32 — the packed bits of each selected word
-      counts   [T] i32    — exact per-needle candidate count
-      nz_words [1] i32    — total nonzero words; needles whose word ranges
-               lie past the capw-th kept word were truncated (overflow iff
-               nz_words > capw) and need the host fallback
-
-    One global buffer instead of a [T, capw] plane cuts the device->host
-    fetch ~T× (the per-needle padding is almost entirely empty), which is the
-    dominant per-page cost off-chip. The caller unpacks bits host-side (scan
-    order: ascending word, ascending bit) and replays the exact f64
-    similarity per candidate.
-    """
+    """Shared batched implementation; see ncc_candidates_pallas[_batch]."""
     from focr_tpu.ops.ncc import window_stats
 
-    H, W = img.shape
+    B, H, W = imgs.shape
     T = needles.shape[0]
     n = nw * nh
     Hs = H - nh + 1  # window rows; search domain is y in [1, Hs)
     W1 = word_stride(W, nw) * 32
     Hs8 = ((Hs + 7) // 8) * 8
 
-    # image padded so every im2col slice [y0+dy, dx : dx+W1] is in bounds
+    # images padded so every im2col slice [y0+dy, dx : dx+W1] is in bounds
+    # (Hp >= H and Wp >= W always: Hs8 >= Hs and W1 >= W-nw+1)
     Hp = Hs8 + nh - 1
     Wp = W1 + nw - 1
-    img_i = _pad_to(img.astype(jnp.float32), max(Hp, H), max(Wp, W))[:Hp, :Wp]
+    img_i = _pad_to_b(imgs.astype(jnp.float32), Hp, Wp)
 
-    sp_full, s2p_full = window_stats(img.astype(jnp.int32), nw, nh)
-    sp_f = _pad_to(sp_full, Hs8, W1).astype(jnp.float32)
-    s2p_f = _pad_to(s2p_full, Hs8, W1).astype(jnp.float32)
+    sp_full, s2p_full = jax.vmap(lambda im: window_stats(im, nw, nh))(
+        imgs.astype(jnp.int32)
+    )
+    sp_f = _pad_to_b(sp_full, Hs8, W1).astype(jnp.float32)
+    s2p_f = _pad_to_b(s2p_full, Hs8, W1).astype(jnp.float32)
     # zero row 0: excludes y=0 from the domain via the sp>0 test
-    sp_f = sp_f.at[0].set(0.0)
+    sp_f = sp_f.at[:, 0].set(0.0)
 
     ndm = needles.reshape(T, n).astype(jnp.float32)
     nf = jnp.float32(n)
@@ -212,36 +194,36 @@ def ncc_candidates_pallas(
     gmat = jnp.asarray(gm)
 
     kernel = functools.partial(_kernel, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
-    grid = (Tp // Tt, Hs8)
+    grid = (B, Tp // Tt, Hs8)
     # trace the kernel with x64 OFF: under the package-global jax_enable_x64,
     # python-int literals in BlockSpec index maps / kernel body become i64
     # constants, and Mosaic cannot legalize i64 (func.return (i64, i64))
     with jax.enable_x64(False):
         mask_bytes, counts = _call(
-            kernel, grid, Hs8, Tp, Tt, WB, W1, n, img_i.shape, interpret,
+            kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_i.shape, interpret,
             thr_arr, img_i, ndm, sp_f, s2p_f, sn_n, n2n, gmat,
         )
-    mask_bytes = jnp.swapaxes(mask_bytes[:, :T], 0, 1)  # -> [T, Hs8, WB]
-    counts = counts[:T, 0]
+    mask_bytes = jnp.swapaxes(mask_bytes[:, :, :T], 1, 2)  # -> [B, T, Hs8, WB]
+    counts = counts[:, :T, 0]
 
     # bytes -> 32-bit words (cheap XLA pass over the 8x-packed mask)
-    b = mask_bytes.reshape(T, Hs8, WW, 4).astype(jnp.int32)
+    b = mask_bytes.reshape(B, T, Hs8, WW, 4).astype(jnp.int32)
     packed = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
 
-    # compact the nonzero words GLOBALLY in (needle, scan) order — ascending
-    # linear index over the flattened [T, Hs8*WW] plane preserves both
-    flat = packed.reshape(T * Hs8 * WW)
+    # compact the nonzero words GLOBALLY (per page) in (needle, scan) order —
+    # ascending linear index over the flattened [T, Hs8*WW] plane preserves both
+    flat = packed.reshape(B, T * Hs8 * WW)
     nz = flat != 0
     word_lin = jax.lax.iota(jnp.int32, T * Hs8 * WW)
     big = jnp.int32(2**31 - 1)
-    key = jnp.where(nz, word_lin, big)
+    key = jnp.where(nz, word_lin[None], big)
     k = min(capw, T * Hs8 * WW)
     neg_top, _ = jax.lax.top_k(-key, k)
-    idx = -neg_top
+    idx = -neg_top  # [B, k] ascending per page
     found = idx < big
     idx_safe = jnp.where(found, idx, 0)
-    vals = flat[idx_safe]
-    nz_words = nz.sum(dtype=jnp.int32).reshape(1)
+    vals = jnp.take_along_axis(flat, idx_safe, axis=1)
+    nz_words = nz.sum(axis=1, dtype=jnp.int32)
     return (
         jnp.where(found, idx, -1),
         jnp.where(found, vals, 0),
@@ -250,29 +232,111 @@ def ncc_candidates_pallas(
     )
 
 
-def _call(kernel, grid, Hs8, Tp, Tt, WB, W1, n, img_shape, interpret, *args):
+@functools.partial(
+    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
+)
+def ncc_candidates_pallas(
+    img: jax.Array,  # [H, W] inverted page (u8/i32 values 0..255)
+    needles: jax.Array,  # [T, nh, nw] u8
+    s_n: jax.Array,  # [T] i64 needle sums
+    s2_n: jax.Array,  # [T] i64 needle sum-of-squares
+    threshold: jax.Array,  # f32 scalar
+    *,
+    nw: int,
+    nh: int,
+    capw: int,
+    eps: float = 1e-3,
+    interpret: bool = False,
+):
+    """Pallas-backed candidate search for one needle-size group, one page.
+
+    Returns (word_idx, word_val, counts, nz_words):
+      word_idx [capw] i32 — ascending GLOBAL linear indices of the first capw
+               nonzero 32-bit mask words across ALL needles; index g belongs
+               to needle t = g // (Hs8*WW), and its word w = g % (Hs8*WW)
+               covers window columns x in [(w % WW)*32, …+32) of row
+               y = w // WW, where WW = W1/32 and W1 is the padded
+               window-column count (= word_stride(W, nw) * 32). -1 padded.
+               Ascending global order == (needle, scan-order) grouping, so
+               the caller splits per needle with one searchsorted.
+      word_val [capw] i32 — the packed bits of each selected word
+      counts   [T] i32    — exact per-needle candidate count
+      nz_words [1] i32    — total nonzero words; needles whose word ranges
+               lie past the capw-th kept word were truncated (overflow iff
+               nz_words > capw) and need the host fallback
+
+    One global buffer instead of a [T, capw] plane cuts the device->host
+    fetch ~T× (the per-needle padding is almost entirely empty), which is the
+    dominant per-page cost off-chip. The caller unpacks bits host-side (scan
+    order: ascending word, ascending bit) and replays the exact f64
+    similarity per candidate.
+    """
+    widx, wval, counts, nzw = _candidates_impl(
+        img[None], needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
+    )
+    return widx[0], wval[0], counts[0], nzw
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
+)
+def ncc_candidates_pallas_batch(
+    imgs: jax.Array,  # [B, H, W] inverted pages (u8/i32 values 0..255)
+    needles: jax.Array,  # [T, nh, nw] u8
+    s_n: jax.Array,  # [T] i64
+    s2_n: jax.Array,  # [T] i64
+    threshold: jax.Array,  # f32 scalar
+    *,
+    nw: int,
+    nh: int,
+    capw: int,
+    eps: float = 1e-3,
+    interpret: bool = False,
+):
+    """Batched-page variant of ncc_candidates_pallas: one kernel dispatch
+    sweeps a whole wave of same-shape pages (page axis = outermost grid dim)
+    and the compacted word buffers come back as ONE [B, capw] pair, so a wave
+    costs one dispatch + one fetch instead of B of each — the off-chip
+    round-trip tax was the dense-corpus pipeline's long pole.
+
+    Returns (word_idx [B, capw], word_val [B, capw], counts [B, T],
+    nz_words [B]); per-page semantics identical to ncc_candidates_pallas.
+    """
+    return _candidates_impl(
+        imgs, needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
+    )
+
+
+def _call(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_shape, interpret, *args):
     return pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((Hs8, Tp, WB), jnp.uint8),
-            jax.ShapeDtypeStruct((Tp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Tp, 1), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((img_shape[0], img_shape[1]), lambda i, y: (0, 0),
+            pl.BlockSpec((1, img_shape[1], img_shape[2]),
+                         lambda b, i, y: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, n), lambda b, i, y: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tt, n), lambda i, y: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hs8, W1), lambda i, y: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hs8, W1), lambda i, y: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tt, 1), lambda i, y: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tt, 1), lambda i, y: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W1, WB), lambda i, y: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hs8, W1), lambda b, i, y: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hs8, W1), lambda b, i, y: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, 1), lambda b, i, y: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, 1), lambda b, i, y: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W1, WB), lambda b, i, y: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, Tt, WB), lambda i, y: (y, i, 0),
+            pl.BlockSpec((1, 1, Tt, WB), lambda b, i, y: (b, y, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tt, 1), lambda i, y: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tt, 1), lambda b, i, y: (b, i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((n, W1), jnp.bfloat16)],
         interpret=interpret,

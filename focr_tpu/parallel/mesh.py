@@ -76,6 +76,64 @@ def maybe_init_distributed() -> bool:
     return True
 
 
+def merge_shards(shards, shape, dtype) -> np.ndarray:
+    """Ordered merge of ``(global_index, ndarray)`` shards into the dense
+    global array. The global index (a tuple of slices) places each shard at
+    its batch position, so the merged result reproduces the reference's
+    sort-by-page-order contract (main.rs:468) no matter which device produced
+    which shard; replicated shards overwrite with identical values."""
+    out = np.empty(shape, dtype)
+    for idx, data in shards:
+        out[idx] = data
+    return out
+
+
+def fetch_global(tree):
+    """Fetch (possibly mesh-sharded) device results to host numpy.
+
+    Single-process: ONE jax.device_get — it issues async copies for every
+    leaf before blocking, one transfer round trip for the whole tree.
+
+    Multi-process (SURVEY.md §5.8): a bare device_get would throw on
+    non-addressable shards, so each leaf is instead (a) reassembled from its
+    addressable shards via merge_shards when this process can see all of
+    them, or (b) process_allgather'd over DCN when it cannot. Every process
+    returns the full global value, so downstream page-order assembly is
+    identical to the single-host path.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def leaf(x):
+        if not isinstance(x, jax.Array):
+            return np.asarray(x)
+        if x.is_fully_addressable:
+            shards = x.addressable_shards
+            datas = jax.device_get([s.data for s in shards])
+            return merge_shards(
+                zip((s.index for s in shards), datas), x.shape, x.dtype
+            )
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def put_global(arr: np.ndarray, sharding: NamedSharding):
+    """Upload a host batch as a mesh-sharded global array, multi-host safe.
+
+    Assumes every process holds the FULL host batch (the CLI model: each
+    process loads the same corpus from shared storage). Single-process this
+    is a plain device_put; multi-process each host materializes exactly its
+    addressable shards by slicing the full batch with the shard's global
+    index, so no process touches a non-addressable device."""
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def pad_batch(pages: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     """Pad the batch axis up to ``multiple`` (padded pages are all-white, so
     the all-white row skip makes them decode to nothing). Returns (padded,

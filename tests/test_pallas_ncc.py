@@ -93,6 +93,76 @@ def test_pallas_matcher_matches_oracle(mono_font_path):
     ]
 
 
+def test_pallas_batch_matches_single_pages():
+    """The batched-page kernel must return, per page, exactly the buffers
+    the single-page call returns (same kernel body, page axis = outermost
+    grid dim) — including the zero-candidate pad page semantics."""
+    rng = np.random.default_rng(5)
+    H, W, T, nh, nw = 64, 96, 5, 8, 9
+    imgs = rng.integers(0, 50, (3, H, W), dtype=np.uint8)
+    needles = rng.integers(0, 255, (T, nh, nw), dtype=np.uint8)
+    for b in range(3):  # plant per-page distinct matches
+        for t, (x, y) in enumerate([(4 + 7 * b, 8), (30, 20 + 5 * b)]):
+            imgs[b, y : y + nh, x : x + nw] = needles[(t + b) % T]
+    imgs[2] = 0  # inverted-white page: the wave-padding case, zero candidates
+    s_n = needles.reshape(T, -1).astype(np.int64).sum(1)
+    s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
+    thr = jnp.asarray(np.float32(0.8))
+
+    bw, bv, bc, bz = jax.device_get(
+        pallas_ncc.ncc_candidates_pallas_batch(
+            jnp.asarray(imgs), jnp.asarray(needles), jnp.asarray(s_n),
+            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
+        )
+    )
+    for b in range(3):
+        sw, sv, sc, sz = jax.device_get(
+            pallas_ncc.ncc_candidates_pallas(
+                jnp.asarray(imgs[b]), jnp.asarray(needles), jnp.asarray(s_n),
+                jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(bw[b], sw)
+        np.testing.assert_array_equal(bv[b], sv)
+        np.testing.assert_array_equal(bc[b], sc)
+        assert bz[b] == sz[0]
+    assert bz[2] == 0 and bc[2].sum() == 0  # white page: no candidates
+
+
+def test_get_hits_many_wave_parity_mixed_shapes(mono_font_path):
+    """The batched-wave pipeline (shape buckets + pow2 page padding + one
+    fetch) must be hit-for-hit identical to per-page get_hits, across mixed
+    page shapes and a wave smaller than the corpus."""
+    import os
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    texts = [["AB01ab"], ["10BAba"], ["baAB10"], ["A0b1Ba"], ["bbAA11"]]
+    shapes = [(64, 128), (64, 128), (48, 112), (64, 128), (48, 112)]
+    pages = [
+        synthesize_page(face, t, dopts, ropts, "AB01ab", s)
+        for t, s in zip(texts, shapes)
+    ]
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1, threshold=0.8, device_kernel="pallas")
+    key = lambda hs: [
+        (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs
+    ]
+    os.environ["FOCR_NCC_WAVE"] = "3"  # force multiple waves + odd bucket sizes
+    try:
+        many = m.get_hits_many(pages)
+    finally:
+        del os.environ["FOCR_NCC_WAVE"]
+    singles = [m.get_hits(p) for p in pages]
+    assert any(len(h) > 0 for h in singles)
+    assert [key(h) for h in many] == [key(h) for h in singles]
+
+
 def test_pallas_unsupported_configs():
     assert not pallas_ncc.pallas_supported(10, 100, 8, 5, 0.8)  # too few rows
     assert not pallas_ncc.pallas_supported(100, 100, 17, 5, 0.8)  # needle too wide

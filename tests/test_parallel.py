@@ -310,3 +310,58 @@ def test_ncc_sharded_pallas_scatter_matches_single(mono_font_path):
     single = [m.get_hits(p) for p in pages]
     key = lambda hs: [(h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs]
     assert [key(h) for h in sharded] == [key(h) for h in single]
+
+
+def test_merge_shards_reproduces_global_order(setup):
+    """The §5.8 multi-host gather's merge: reassembling a mesh-sharded array
+    from its (global_index, data) shards must equal the full device_get —
+    this is the exact code path fetch_global takes for each leaf under
+    jax.process_count() > 1 (non-addressable-safe), validated here on the
+    8-virtual-device mesh where every shard IS addressable."""
+    from focr_tpu.parallel.mesh import merge_shards, pages_sharding
+
+    mesh = page_mesh()
+    arr = np.arange(8 * 3 * 5, dtype=np.int32).reshape(8, 3, 5)
+    x = jax.device_put(arr, pages_sharding(mesh))
+    shards = x.addressable_shards
+    datas = jax.device_get([s.data for s in shards])
+    merged = merge_shards(
+        zip((s.index for s in shards), datas), x.shape, x.dtype
+    )
+    np.testing.assert_array_equal(merged, jax.device_get(x))
+    # shard order must not matter (processes see shards in device order,
+    # which need not be batch order)
+    merged_rev = merge_shards(
+        zip((s.index for s in reversed(shards)), datas[::-1]), x.shape, x.dtype
+    )
+    np.testing.assert_array_equal(merged_rev, arr)
+
+
+def test_put_global_callback_matches_device_put(setup):
+    """put_global's multi-process branch (make_array_from_callback slicing
+    the full host batch per shard) must build the same global array as the
+    single-process device_put branch."""
+    from focr_tpu.parallel.mesh import pages_sharding
+
+    mesh = page_mesh()
+    sh = pages_sharding(mesh)
+    arr = np.arange(16 * 4, dtype=np.uint8).reshape(16, 4)
+    via_put = jax.device_put(arr, sh)
+    via_cb = jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+    assert via_cb.sharding.is_equivalent_to(via_put.sharding, arr.ndim)
+    np.testing.assert_array_equal(jax.device_get(via_cb), jax.device_get(via_put))
+
+
+def test_fetch_global_multiprocess_branch(setup, monkeypatch):
+    """fetch_global under a simulated process_count > 1 must take the
+    shard-merge branch and still return the exact global values."""
+    import focr_tpu.parallel.mesh as mesh_mod
+    from focr_tpu.parallel.mesh import fetch_global, pages_sharding
+
+    mesh = page_mesh()
+    arr = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    x = jax.device_put(arr, pages_sharding(mesh))
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    out = fetch_global({"a": x, "b": np.int64(3)})
+    np.testing.assert_array_equal(out["a"], arr)
+    assert out["b"] == 3
