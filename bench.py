@@ -27,7 +27,11 @@ import numpy as np
 
 NORTH_STAR_PAGES_PER_SEC = 50.0
 FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
+SANS_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
 ALPHABET = "> =ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+# v5e per-chip peak: 197 TFLOP/s bf16 (the SSD matmul runs bf16/f32 on the
+# MXU) — the MFU denominator for the device-forward metric
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _spread(times: list[float], n_pages: int) -> dict:
@@ -103,7 +107,116 @@ def bench_focr(face, reps: int) -> tuple[float, dict]:
         f"spread {_spread(times, n_pages)}",
         file=sys.stderr,
     )
-    return n_pages / best, _spread(times, n_pages)
+    dev_pps, dev_mfu = bench_focr_device(dec, pages[:batch], max(reps, 4))
+    return n_pages / best, _spread(times, n_pages), dev_pps, dev_mfu
+
+
+def bench_focr_device(dec, pages: np.ndarray, reps: int) -> tuple[float, float]:
+    """Device-only focr forward throughput + MFU estimate.
+
+    Isolates the SSD matmul pipeline from the transport: every rep's strip
+    buffer is pre-uploaded (distinct content — the transport dedups repeats),
+    then all forwards are enqueued and blocked ONCE (per-call timing through
+    the tunnel would be ~100x off, see .claude/skills/verify). MFU counts
+    only the metric contraction (windows x templates MACs), the dominant
+    term, against the v5e bf16 peak."""
+    import jax
+    import jax.numpy as jnp
+
+    from focr_tpu.models.focr import crop_strips
+
+    B = pages.shape[0]
+    sizes = [B * len(g.ys) * g.crop_h * dec.crop_w for g, _ in dec.groups]
+
+    def flat_for(src: np.ndarray) -> np.ndarray:
+        flat = np.empty(sum(sizes), dtype=np.uint8)
+        off = 0
+        for (grp, _), sz in zip(dec.groups, sizes):
+            view = flat[off : off + sz].reshape(B, len(grp.ys), grp.crop_h, dec.crop_w)
+            crop_strips(src, grp.ys, grp.crop_h, dec.x0, dec.crop_w, out=view)
+            off += sz
+        return flat
+
+    perm_rng = np.random.default_rng(5150)
+    flats_j = [
+        jnp.asarray(flat_for(pages[perm_rng.permutation(B)])) for _ in range(reps)
+    ]
+    jax.block_until_ready(flats_j)
+    out = dec._combined_fn(flats_j[0], B=B)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [dec._combined_fn(f, B=B) for f in flats_j]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    pps = reps * B / dt
+
+    # metric-contraction FLOPs per page: for each row group, R rows x C cells
+    # x G glyphs x (h x win) window MACs (2 flops each)
+    flops_page = sum(
+        len(grp.ys) * bank.templates.shape[0] * bank.templates.shape[1]
+        * bank.templates.shape[2] * bank.templates.shape[3] * 2
+        for (grp, _), bank in zip(dec.groups, dec.banks)
+    )
+    mfu = pps * flops_page / V5E_BF16_PEAK_FLOPS
+    print(
+        f"# focr device-only {pps:.0f} pages/s | {flops_page / 1e6:.0f} MFLOP/page "
+        f"| MFU {mfu * 100:.2f}%",
+        file=sys.stderr,
+    )
+    return pps, mfu
+
+
+def bench_prop(reps: int) -> float:
+    """Proportional-font decode throughput (the lax.scan sequential device
+    path, models/focr_prop.py) on the canonical grid with DejaVu Sans.
+
+    Parity anchor: the device decode of page 0 must be TEXT-IDENTICAL to the
+    host oracle's decode (engine-vs-engine, the only valid comparison —
+    greedy proportional decode legitimately derails on ambiguous glyphs
+    ('l'/'k') and fills trailing white with spurious glyphs on EVERY engine
+    including the reference's semantics, so decoded-vs-truth would assert
+    reference bugs away)."""
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.models.focr import decode_pages
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+    from focr_tpu.io.synth import synthesize_page, random_text_lines
+    from focr_tpu.oracle import focr_oracle
+
+    n_pages = int(os.environ.get("BENCH_PROP_PAGES", "16"))
+    face = Face(SANS_FONT)
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(x_start=45, y_start=39, line_height=12, line_advance=15, width=608)
+    shape = (792, 662)
+    alpha = ALPHABET.replace(" ", "A").replace(">", "B")
+
+    rng = np.random.default_rng(21)
+    truths = [random_text_lines(rng, alpha, 48, 60) for _ in range(n_pages)]
+    pages = [synthesize_page(face, t, dopts, ropts, alpha, shape) for t in truths]
+
+    def run_all(src):
+        return decode_pages(src, face, alpha, dopts, ropts, batch_size=16)
+
+    decoded = run_all(pages)  # warmup + compile
+    oracle_lines = focr_oracle.decode_image(pages[0], face, alpha, dopts, ropts)
+    assert [ln.text for ln in decoded[0]] == [ln.text for ln in oracle_lines], (
+        "prop decode parity failure vs host oracle"
+    )
+
+    perm_rng = np.random.default_rng(343)
+    srcs = [
+        [pages[i].copy() for i in perm_rng.permutation(n_pages)] for _ in range(reps)
+    ]
+    times = []
+    for src in srcs:
+        t0 = time.perf_counter()
+        run_all(src)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(
+        f"# prop {n_pages / best:.1f} pages/s | spread {_spread(times, n_pages)}",
+        file=sys.stderr,
+    )
+    return n_pages / best
 
 
 def bench_ncc(face, reps: int) -> float:
@@ -167,11 +280,17 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "7"))
     face = Face(FONT)
 
-    focr_pps, focr_spread = bench_focr(face, reps)
-    extra = {"focr_spread_pages_per_sec": focr_spread}
+    focr_pps, focr_spread, dev_pps, dev_mfu = bench_focr(face, reps)
+    extra = {
+        "focr_spread_pages_per_sec": focr_spread,
+        "focr_device_pages_per_sec": round(dev_pps, 1),
+        "focr_device_mfu_pct": round(dev_mfu * 100, 3),
+    }
     if os.environ.get("BENCH_NCC", "1") != "0":
         ncc_pps = bench_ncc(face, max(reps - 2, 3))
         extra["ncc_dense_pages_per_sec"] = round(ncc_pps, 2)
+    if os.environ.get("BENCH_PROP", "1") != "0":
+        extra["prop_pages_per_sec"] = round(bench_prop(max(reps - 2, 3)), 2)
 
     print(
         f"# backend={jax.default_backend()} devices={jax.device_count()}",

@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device-engine kernel: xla (conv emitter, default via auto) "
                         "or pallas (fused bitmask kernel)")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--verbose-sync", action="store_true",
+                   help="verbose with MEASURED per-search timing: serializes "
+                        "each size group's device dispatch (block_until_ready) "
+                        "so elapsed/ns-per-pixel are wall-clock measurements "
+                        "like the reference's (ncc.rs:657-666); slower — the "
+                        "pipelined default prints estimates instead")
     p.add_argument("--csv", action="store_true")
     p.add_argument("--raw", action="store_true")
     p.add_argument("--mesh", choices=["auto", "off"], default="auto",
@@ -77,6 +83,8 @@ def _verbose_metrics(face: Face, alphabet: str, text_size: float) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.verbose_sync:
+        args.verbose = True
 
     hinting = HintingOptions(full=True, size=args.text_size) if args.hinting else HintingOptions()
     ropts = RenderOptions(size=args.text_size, hinting=hinting)
@@ -121,7 +129,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.raw:
         assert len(args.img) == 1
         page = load_gray(args.img[0])
-        get(page, verbose=args.verbose, raw=True, out=sys.stdout)
+        if engine == "device":
+            get(page, verbose=args.verbose, raw=True, out=sys.stdout,
+                sync=args.verbose_sync)
+        else:
+            get(page, verbose=args.verbose, raw=True, out=sys.stdout)
         return 0
 
     from focr_tpu.utils.metrics import metrics_run
@@ -156,7 +168,13 @@ def main(argv: list[str] | None = None) -> int:
         text_post = lambda hs: process_hits_text(hs, args.anchor_threshold, args.overlap)
 
     with metrics_run(args.profile) as mrun:
-        if engine == "device" and mesh is not None and len(loaded) > 1:
+        if engine == "device" and args.verbose_sync:
+            # measurement mode: per-page serialized dispatch (no pipelining,
+            # no sharding) so the stderr timing lines are wall-clock truth
+            hit_lists = [
+                matcher.get_hits(p, verbose=True, sync=True) for _, p in loaded
+            ]
+        elif engine == "device" and mesh is not None and len(loaded) > 1:
             # multi-chip: shard same-shape page buckets over the mesh
             hit_lists = [None] * len(loaded)
             buckets: dict[tuple[int, int], list[int]] = {}

@@ -158,10 +158,12 @@ class GridDecoder:
         self.groups: list[tuple[_RowGroup, object]] = []
         self.prop_groups: list[tuple[_RowGroup, object]] = []
         self._combined_fn = None
+        self.banks: list[GridBank] = []  # per-group banks (bench FLOP model)
         if self.crop_w > 0 and self.monospace:
             fwds = []
             for grp in _row_groups(dopts, H):
                 bank = build_grid_bank(face, alphabet, ropts, self.crop_w, grp.crop_h)
+                self.banks.append(bank)
                 if self.mesh is not None:
                     from focr_tpu.parallel.decode import make_sharded_grid_fn
 

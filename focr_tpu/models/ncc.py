@@ -151,6 +151,42 @@ def _host_searcher(page: np.ndarray):
         return Searcher(page)
 
 
+class _ReplayTables:
+    """Lazy per-page exact-integer material for the Pallas-path f64 replay.
+
+    Every field is built at most once per page and shared across size
+    groups: the native replay wants the i64 integral tables (one fused C
+    pass; per-candidate sp/s2p become O(1) lookups — the reference's own
+    design, ncc.rs:937), the NumPy fallback wants the i32 pixel/square
+    planes for strided window sums. Laziness matters: on the native fast
+    path the NumPy planes are never materialized at all."""
+
+    def __init__(self, inv: np.ndarray):
+        self.inv_u8 = np.ascontiguousarray(inv)
+        self._i32 = None
+        self._sq = None
+        self._native = None
+
+    def i32(self) -> np.ndarray:
+        if self._i32 is None:
+            # window sums over these fit i32: n*255^2 < 2^24 (kernel-gated)
+            self._i32 = self.inv_u8.astype(np.int32)
+        return self._i32
+
+    def sq(self) -> np.ndarray:
+        if self._sq is None:
+            i = self.i32()
+            self._sq = i * i
+        return self._sq
+
+    def native(self):
+        if self._native is None:
+            from focr_tpu.native import ncc_cpu
+
+            self._native = ncc_cpu.build_tables(self.inv_u8)
+        return self._native
+
+
 @dataclass(frozen=True)
 class _Group:
     nh: int
@@ -265,12 +301,19 @@ class NccMatcher:
         verbose: bool = False,
         raw: bool = False,
         out=None,
+        sync: bool = False,
     ) -> list[MatchWithLetter]:
         """Device search + exact host recheck; hits in reference order
-        (get_hits, ncc.rs:544-721)."""
-        return self._collect_page(
-            self._fetch_wave(self._dispatch_wave([page]))[0], verbose, raw, out
-        )
+        (get_hits, ncc.rs:544-721).
+
+        ``sync``: serialize per-group dispatch with block_until_ready so the
+        verbose elapsed/ns-per-pixel lines are true wall-clock measurements
+        (the reference measures each search, ncc.rs:657-666; the pipelined
+        default can only estimate — async device work has no observable
+        per-group span). Slower: defeats dispatch pipelining by design."""
+        meas: dict | None = {} if sync else None
+        d = self._fetch_wave(self._dispatch_wave([page], measure=meas))[0]
+        return self._collect_page(d, verbose, raw, out, meas=meas)
 
     def get_hits_many(
         self, pages: list[np.ndarray], verbose: bool = False, struct: bool = False,
@@ -452,7 +495,7 @@ class NccMatcher:
             results.append(post(hits) if post is not None else hits)
         return results
 
-    def _dispatch_wave(self, batch: list[np.ndarray], device=None):
+    def _dispatch_wave(self, batch: list[np.ndarray], device=None, measure=None):
         """Phase 1 for a WHOLE wave of pages: one stacked u8 upload per page
         shape and ONE batched Pallas dispatch per (shape bucket × size
         group), so a wave of B pages costs a handful of device calls instead
@@ -463,8 +506,11 @@ class NccMatcher:
         number of compiled batch sizes stays logarithmic in the wave size.
 
         ``device`` pins the wave's sweeps to one chip (the mesh scatter
-        path); None uses the default device. Returns an opaque wave object
-        for _fetch_wave(s)."""
+        path); None uses the default device. ``measure``: optional dict —
+        when given, each group's dispatch is serialized with
+        block_until_ready and measure[(nh, nw)] accumulates its true
+        wall-clock seconds (the --verbose-sync mode; kills pipelining by
+        design). Returns an opaque wave object for _fetch_wave(s)."""
         t0 = time.perf_counter()
         by_shape: dict[tuple[int, int], list[int]] = {}
         for i, p in enumerate(batch):
@@ -488,35 +534,43 @@ class NccMatcher:
                 if device is None
                 else jax.device_put(inv_pad, device)
             )
+            if measure is not None:
+                # exclude the upload from the first group's measured span
+                jax.block_until_ready(inv_j)
             plans: list[tuple[_Group, str, object]] = []
             for grp, dev in zip(self.groups, self._device_groups(device)):
                 if grp.nh >= H or grp.nw >= W:
                     plans.append((grp, "empty", None))
                     continue
+                tg = time.perf_counter()
                 if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
                     H, W, grp.nw, grp.nh, self.threshold
                 ):
                     capw = self._capw.get((grp.nh, grp.nw), _CAPW_START)
                     outs = ncc_ops_pallas_call_batch(inv_j, grp, dev, capw=capw)
                     plans.append((grp, "pallas", outs))
-                    continue
-                bank_j, s_n_j, s2_n_j, thr_j = dev
-                # XLA fallback stays per page (device-side slices of the one
-                # stacked upload; no extra host->device transfers)
-                outs = [
-                    ncc_ops.ncc_candidates(
-                        inv_j[k],
-                        bank_j,
-                        s_n_j,
-                        s2_n_j,
-                        thr_j,
-                        nw=grp.nw,
-                        nh=grp.nh,
-                        cap=_CAP,
-                    )
-                    for k in range(B)
-                ]
-                plans.append((grp, "xla", outs))
+                else:
+                    bank_j, s_n_j, s2_n_j, thr_j = dev
+                    # XLA fallback stays per page (device-side slices of the
+                    # one stacked upload; no extra host->device transfers)
+                    outs = [
+                        ncc_ops.ncc_candidates(
+                            inv_j[k],
+                            bank_j,
+                            s_n_j,
+                            s2_n_j,
+                            thr_j,
+                            nw=grp.nw,
+                            nh=grp.nh,
+                            cap=_CAP,
+                        )
+                        for k in range(B)
+                    ]
+                    plans.append((grp, "xla", outs))
+                if measure is not None:
+                    jax.block_until_ready(outs)
+                    key = (grp.nh, grp.nw)
+                    measure[key] = measure.get(key, 0.0) + time.perf_counter() - tg
             buckets.append((idxs, inv_all, plans))
         return batch, buckets, t0, device
 
@@ -565,9 +619,14 @@ class NccMatcher:
         return self._fetch_waves([wave])[0]
 
     def _collect_page(
-        self, dispatched, verbose: bool, raw: bool, out, struct: bool = False
+        self, dispatched, verbose: bool, raw: bool, out, struct: bool = False,
+        meas: dict | None = None,
     ):
-        """Phase 2: fetch one page's device results, replay exact f64."""
+        """Phase 2: fetch one page's device results, replay exact f64.
+
+        ``meas``: per-group measured wall seconds from a sync dispatch
+        (--verbose-sync); None = pipelined default, where per-group time is
+        unobservable and the page span is attributed by search share."""
         page, inv, plan, t_dispatch, device = dispatched
         H, W = page.shape
         thr_f32 = np.float32(self.threshold)
@@ -578,6 +637,11 @@ class NccMatcher:
         # span to groups by their share of searches)
         page_elapsed = time.perf_counter() - t_dispatch
         total_searches = max(sum(len(g.needle_ids) for g in self.groups), 1)
+        time_label = (
+            "measured wall time, split evenly"
+            if meas is not None
+            else "estimated: page span attributed evenly"
+        )
 
         # per needle: (xs i64[], ys i64[], sims f32[]) — arrays, not objects;
         # MatchWithLetter objects are built only at the API boundary (a dense
@@ -594,15 +658,19 @@ class NccMatcher:
                     per_needle[i] = _EMPTY
                     needle_s[i] = 0.0
                 continue
-            elapsed = page_elapsed * len(grp.needle_ids) / total_searches
+            if meas is not None:
+                elapsed = meas.get((grp.nh, grp.nw), 0.0)
+            else:
+                elapsed = page_elapsed * len(grp.needle_ids) / total_searches
             for i in grp.needle_ids:
                 needle_s[i] = elapsed / max(len(grp.needle_ids), 1)
             if kind == "pallas":
                 if tables is None:
-                    tables = self._replay_tables(inv)
+                    tables = _ReplayTables(inv)
                 oracle_searcher = self._pallas_group(
                     grp, outs, tables, thr_f64, per_needle,
                     page, oracle_searcher, verbose, H, W, elapsed, device,
+                    time_label,
                 )
                 continue
             idx, acc, sp, s2p, counts = (np.asarray(o) for o in outs)
@@ -647,8 +715,8 @@ class NccMatcher:
                 ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
                 print(
                     f"[group {grp.nw}x{grp.nh}] {len(grp.needle_ids)} searches "
-                    f"~{per_search_ms:.2f}ms each (estimated: page span attributed "
-                    f"evenly; {ns_per_px:.2f} ns/pixel)",
+                    f"~{per_search_ms:.2f}ms each ({time_label}; "
+                    f"{ns_per_px:.2f} ns/pixel)",
                     file=sys.stderr,
                 )
 
@@ -751,24 +819,16 @@ class NccMatcher:
             sims[:MAX_MATCHES].astype(np.float32),
         )
 
-    @staticmethod
-    def _replay_tables(inv: np.ndarray):
-        """Exact per-candidate integers for the Pallas-path f64 replay come
-        straight from the page: i64 pixels + their squares (window sums are
-        taken over strided views at each candidate — identical values to the
-        reference's integral-table lookups on the x,y>=1 domain, without
-        paying two full-page i64 cumsum passes per page)."""
-        inv32 = inv.astype(np.int32)  # sums fit i32: n*255^2 < 2^24 (gated)
-        return (inv32, inv32 * inv32, np.ascontiguousarray(inv))
 
     def _pallas_group(
         self, grp, outs, tables, thr_f64, per_needle,
         page, oracle_searcher, verbose, H, W, elapsed, device=None,
+        time_label: str = "estimated: page span attributed evenly",
     ):
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
         widx, wval, counts, nzw = (np.asarray(o) for o in outs)
-        inv32, inv32_sq, inv_u8 = tables
+        inv_u8 = tables.inv_u8
         if int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX:
             # word-cap overflow below the ceiling: grow this group's capw to
             # 1.25x the MEASURED word count (nzw is exact), rounded up to a
@@ -799,8 +859,6 @@ class NccMatcher:
             widx, wval, counts, nzw = jax.device_get(redo)
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
-        wins = np.lib.stride_tricks.sliding_window_view(inv32, (grp.nh, grp.nw))
-        wins_sq = np.lib.stride_tricks.sliding_window_view(inv32_sq, (grp.nh, grp.nw))
         bit = np.arange(32, dtype=np.int64)
 
         T = len(grp.needle_ids)
@@ -827,11 +885,18 @@ class NccMatcher:
                     ws[:first_suspect], we[:first_suspect],
                     grp.bank, grp.s_n, grp.s2_n,
                     float(thr_f64), stride, WW, MAX_MATCHES,
+                    tables=tables.native(),
                 )
 
         if native is None:
             # NumPy replay: unpack every candidate at once (np.nonzero is
             # row-major, so (word, bit) keeps the (needle, scan) order)
+            wins = np.lib.stride_tricks.sliding_window_view(
+                tables.i32(), (grp.nh, grp.nw)
+            )
+            wins_sq = np.lib.stride_tricks.sliding_window_view(
+                tables.sq(), (grp.nh, grp.nw)
+            )
             bits = ((v_all[:, None] >> bit.astype(np.uint32)[None, :]) & 1).astype(bool)
             wi, b = np.nonzero(bits)
             nid_c = nid[wi]
@@ -897,8 +962,8 @@ class NccMatcher:
             ns_per_px = elapsed * 1e9 / (W * H) / max(len(grp.needle_ids), 1)
             print(
                 f"[pallas group {grp.nw}x{grp.nh}] {len(grp.needle_ids)} searches "
-                f"~{per_search_ms:.2f}ms each (estimated: page span attributed "
-                f"evenly; {ns_per_px:.2f} ns/pixel)",
+                f"~{per_search_ms:.2f}ms each ({time_label}; "
+                f"{ns_per_px:.2f} ns/pixel)",
                 file=sys.stderr,
             )
         return oracle_searcher

@@ -84,9 +84,15 @@ def load() -> ctypes.CDLL:
                 ctypes.c_float, ctypes.POINTER(FMatch), ctypes.c_int64,
                 ctypes.c_void_p,
             ]
+            lib.focr_ncc_tables_u8.restype = None
+            lib.focr_ncc_tables_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ref, w, h
+                ctypes.c_void_p, ctypes.c_void_p,  # sum_tab, sq_tab
+            ]
             lib.focr_ncc_replay_u8.restype = None
             lib.focr_ncc_replay_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ref, w, h
+                ctypes.c_void_p, ctypes.c_void_p,  # sum_tab, sq_tab
                 ctypes.c_void_p, ctypes.c_void_p,  # widx, wval
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # starts, ends, T
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # bank, nw, nh

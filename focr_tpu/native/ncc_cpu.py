@@ -101,6 +101,25 @@ class NativeSearcher:
         return res
 
 
+def build_tables(inv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-page exact i64 integral tables for replay_group: (sum, sumsq),
+    each (H+1, W+1) with a zero top/left border. Built once per page in one
+    fused native pass and shared by every size group's replay (the
+    per-candidate sp/s2p window sums become O(1) lookups, the reference's
+    own integral-table design, ncc.rs:937)."""
+    lib = load()
+    inv = np.ascontiguousarray(inv)
+    H, W = inv.shape
+    sum_tab = np.empty((H + 1, W + 1), dtype=np.int64)
+    sq_tab = np.empty((H + 1, W + 1), dtype=np.int64)
+    lib.focr_ncc_tables_u8(
+        inv.ctypes.data_as(ctypes.c_void_p), W, H,
+        sum_tab.ctypes.data_as(ctypes.c_void_p),
+        sq_tab.ctypes.data_as(ctypes.c_void_p),
+    )
+    return sum_tab, sq_tab
+
+
 def replay_group(
     inv: np.ndarray,  # [H, W] u8 inverted page
     widx: np.ndarray,  # [Nw] i32 ascending global word indices (kept only)
@@ -114,18 +133,22 @@ def replay_group(
     stride: int,
     words_per_row: int,
     max_matches: int,
+    tables: tuple[np.ndarray, np.ndarray] | None = None,
 ):
     """Native exact-f64 replay of the device candidate bitmask.
 
     Returns (out_x, out_y, out_sim, counts, warn): per-needle hits live at
     out[32*starts[t] : 32*starts[t] + counts[t]], scan order, capped at
-    max_matches with the reference's WARN semantics.
+    max_matches with the reference's WARN semantics. ``tables``: the page's
+    build_tables result (built here if absent; pass it to amortize across
+    size groups).
     """
     lib = load()
     _, n_h, n_w = bank.shape
     T = len(starts)  # needles to replay (callers may slice off suspects)
     assert len(ends) == T and len(bank) >= T
     inv = np.ascontiguousarray(inv)
+    sum_tab, sq_tab = tables if tables is not None else build_tables(inv)
     widx = np.ascontiguousarray(widx, dtype=np.int32)
     wval = np.ascontiguousarray(wval, dtype=np.uint32)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
@@ -141,6 +164,8 @@ def replay_group(
     warn = np.zeros(T, dtype=np.uint8)
     lib.focr_ncc_replay_u8(
         inv.ctypes.data_as(ctypes.c_void_p), inv.shape[1], inv.shape[0],
+        sum_tab.ctypes.data_as(ctypes.c_void_p),
+        sq_tab.ctypes.data_as(ctypes.c_void_p),
         widx.ctypes.data_as(ctypes.c_void_p),
         wval.ctypes.data_as(ctypes.c_void_p),
         starts.ctypes.data_as(ctypes.c_void_p),
@@ -158,4 +183,4 @@ def replay_group(
     return out_x, out_y, out_sim, counts, warn
 
 
-__all__ = ["NativeSearcher", "available", "replay_group"]
+__all__ = ["NativeSearcher", "available", "build_tables", "replay_group"]

@@ -132,10 +132,45 @@ void focr_ncc_search_many_u8(
     }
 }
 
+// Per-page exact i64 integral tables, (r_h+1) x (r_w+1) with a zero
+// top/left border: sum_tab holds prefix sums of the inverted pixels,
+// sq_tab of their squares. One fused pass; shared by every size group's
+// replay on the page (the reference builds equivalent tables per Searcher,
+// ncc.rs:937-974 — but u32/u64-wrapping; these are clean i64, exact for any
+// page that fits memory: max sum H*W*65025 << 2^63).
+void focr_ncc_tables_u8(
+    const uint8_t* ref, int64_t r_w, int64_t r_h,
+    int64_t* sum_tab, int64_t* sq_tab) {
+    const int64_t W1 = r_w + 1;
+    for (int64_t x = 0; x < W1; ++x) {
+        sum_tab[x] = 0;
+        sq_tab[x] = 0;
+    }
+    for (int64_t y = 0; y < r_h; ++y) {
+        const uint8_t* row = ref + y * r_w;
+        int64_t rs = 0, rq = 0;
+        int64_t* st = sum_tab + (y + 1) * W1;
+        int64_t* qt = sq_tab + (y + 1) * W1;
+        const int64_t* pst = sum_tab + y * W1;
+        const int64_t* pqt = sq_tab + y * W1;
+        st[0] = 0;
+        qt[0] = 0;
+        for (int64_t x = 0; x < r_w; ++x) {
+            const int64_t v = row[x];
+            rs += v;
+            rq += v * v;
+            st[x + 1] = pst[x + 1] + rs;
+            qt[x + 1] = pqt[x + 1] + rq;
+        }
+    }
+}
+
 // Exact f64 replay of the device candidate bitmask (the host half of the
 // Pallas path, models/ncc.py::_pallas_group): for every set bit of every
-// compacted mask word, recompute the window's integer acc/sp/s2p directly
-// from the page and apply the reference's f64 similarity formula
+// compacted mask word, recompute the window's integer acc from the page
+// (the only needle-dependent term), read sp/s2p from the per-page integral
+// tables (focr_ncc_tables_u8 — exact i64, so values are identical to direct
+// window sums), and apply the reference's f64 similarity formula
 // (ncc.cpp:206-215, same association/order), emitting per-needle hits in
 // scan order with the MAX_MATCHES truncation (ncc.cpp:222-229).
 //
@@ -145,6 +180,7 @@ void focr_ncc_search_many_u8(
 // one hit per bit), so needles parallelize independently (OpenMP).
 void focr_ncc_replay_u8(
     const uint8_t* ref, int64_t r_w, int64_t r_h,
+    const int64_t* sum_tab, const int64_t* sq_tab,
     const int32_t* widx, const uint32_t* wval,
     const int64_t* starts, const int64_t* ends, int64_t n_needles,
     const uint8_t* bank, int64_t n_w, int64_t n_h,
@@ -156,6 +192,7 @@ void focr_ncc_replay_u8(
     const int64_t n = n_w * n_h;
     const double n_recip = 1.0 / static_cast<double>(n);
     const double nd = static_cast<double>(n);
+    const int64_t TW = r_w + 1;  // integral-table row stride
 #pragma omp parallel for schedule(dynamic)
     for (int64_t t = 0; t < n_needles; ++t) {
         const uint8_t* needle = bank + t * n_h * n_w;
@@ -175,21 +212,25 @@ void focr_ncc_replay_u8(
                 const int b = __builtin_ctz(bits);
                 bits &= bits - 1;
                 const int64_t x = xbase + b;
-                int64_t acc = 0, sp = 0, s2p = 0;
+                // correlation: i32 per-row partials (<= n_w * 255^2 < 2^20,
+                // vectorizes to the u8->i16->i32 madd pattern) summed in i64
+                int64_t acc = 0;
                 for (int64_t dy = 0; dy < n_h; ++dy) {
                     const uint8_t* r = ref + (y + dy) * r_w + x;
                     const uint8_t* nr = needle + dy * n_w;
-                    int64_t a = 0, s1 = 0, s2 = 0;
+                    int32_t a = 0;
                     for (int64_t dx = 0; dx < n_w; ++dx) {
-                        const int64_t v = r[dx];
-                        a += v * nr[dx];
-                        s1 += v;
-                        s2 += v * v;
+                        a += static_cast<int32_t>(r[dx]) *
+                             static_cast<int32_t>(nr[dx]);
                     }
                     acc += a;
-                    sp += s1;
-                    s2p += s2;
                 }
+                const int64_t* s0 = sum_tab + y * TW + x;
+                const int64_t* s1 = sum_tab + (y + n_h) * TW + x;
+                const int64_t* q0 = sq_tab + y * TW + x;
+                const int64_t* q1 = sq_tab + (y + n_h) * TW + x;
+                const int64_t sp = s1[n_w] - s1[0] - s0[n_w] + s0[0];
+                const int64_t s2p = q1[n_w] - q1[0] - q0[n_w] + q0[0];
                 const double spd = static_cast<double>(sp);
                 const double num =
                     static_cast<double>(acc) - (s_n * spd) * n_recip;

@@ -97,3 +97,27 @@ def test_cli_verbose_per_search_format(stamped_page, mono_font_path, capsys):
     assert len(per_search) == 6  # one per (letter, offset): 6 letters x 1 offset
     # the group summary flags that device spans are attributed estimates
     assert any("estimated" in l for l in err.splitlines() if l.startswith("["))
+
+
+def test_cli_verbose_sync_measured_timing(stamped_page, mono_font_path, capsys):
+    """--verbose-sync: same decoded stdout as the default run, but the group
+    timing lines on stderr are labeled as measured wall time (serialized
+    dispatch), not estimates — and per-search lines still carry the
+    reference's elapsed/ns-per-pixel format (ncc.rs:657-666)."""
+    path, lines = stamped_page
+    rc = ncc_main(["-i", path, "-f", mono_font_path, "-t", "13", "-a", "ABCXYZ"])
+    assert rc == 0
+    default_out = capsys.readouterr().out
+    rc = ncc_main(
+        ["-i", path, "-f", mono_font_path, "-t", "13", "-a", "ABCXYZ", "--verbose-sync"]
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert cap.out == default_out
+    assert "measured wall time" in cap.err
+    assert "estimated" not in cap.err
+    assert "ns/pixel)" in cap.err
+    # the per-search lines (one per needle) are present in reference format
+    assert any(
+        ln.startswith("`") and "elapsed" in ln for ln in cap.err.splitlines()
+    )
