@@ -126,6 +126,83 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
     ).astype(jnp.int32)[None]
 
 
+_TROWS = 8  # window rows per tiled-kernel grid step (sublane-aligned)
+
+
+def _kernel_tiled(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref,
+                  n2n_ref, gmat_ref, bytes_ref, counts_ref, win_ref, *,
+                  nw, nh, W1, Hs, n):
+    """Row-tiled kernel body; grid is (page, needle_tile, row_tile) — one
+    _TROWS-row band of one _TTILE-needle tile of one page per step. Unlike
+    _kernel, the image block is an overlapping row-band tile
+    [1, _TROWS+nh-1, Wp] (materialized in HBM by _candidates_impl), NOT the
+    whole page: VMEM holds only the band, so arbitrarily tall pages stream
+    through (SURVEY.md §7 stage 4 — the reference's per-row loop structure,
+    ncc.cpp:98-100, re-expressed as a banded grid).
+
+    thr    [1, 1]               f32  (threshold - ε), SMEM
+    img    [1, 1, TR+nh-1, Wp]  f32  row band: page rows [yt*TR, …+TR+nh-1)
+    ndm/sn_n/n2n/gmat                as in _kernel
+    sp     [1, 1, TR, W1]       f32  window Σp rows of this band (row 0 of
+                                     the page zeroed => y=0 excluded)
+    s2p    [1, 1, TR, W1]       f32
+    bytes  [1, TR, Tt, W1/8] u8 out block at (b, yt, tile, 0)
+    counts [1, Tt, 1]        i32 out — accumulates across row tiles (block
+                                  constant in yt, the innermost grid dim)
+    win    [K, W1]           bf16 scratch — im2col rows (per band row)
+
+    Per band row r (unrolled python loop, r static): the same two-MXU-dot
+    pipeline as _kernel. All exactness properties carry over unchanged — the
+    math per window row is identical; only the residency scheme differs.
+    """
+    yt = pl.program_id(2)
+    ndm = ndm_ref[:].astype(jnp.bfloat16)
+    gmat = gmat_ref[:].astype(jnp.bfloat16)
+    sn_n = sn_n_ref[:, 0]  # [Tt]
+    n2n = n2n_ref[:, 0]
+    rt_n2n = jnp.sqrt(n2n)
+    thr_eps = thr_ref[0, 0]
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, W1), 1) >= 1
+
+    @pl.when(yt == 0)
+    def _init():
+        counts_ref[:, :, :] = jnp.zeros_like(counts_ref)
+
+    acc_counts = None
+    for r in range(_TROWS):
+        y = yt * _TROWS + r  # absolute window row (traced scalar)
+        for dy in range(nh):
+            row = img_ref[0, 0, pl.ds(r + dy, 1), :].astype(jnp.bfloat16)
+            for dx in range(nw):
+                win_ref[pl.ds(dy * nw + dx, 1), :] = row[:, dx : dx + W1]
+        win = win_ref[:]  # [K, W1]
+        acc = jnp.dot(ndm, win, preferred_element_type=jnp.float32)  # [Tt, W1]
+
+        sp = sp_ref[0, 0, pl.ds(r, 1), :]  # [1, W1]
+        s2p = s2p_ref[0, 0, pl.ds(r, 1), :]
+        norm2p = s2p - sp * sp * jnp.float32(1.0 / n)
+        num = acc - sn_n[:, None] * sp
+        den_lo = rt_n2n[:, None] * jnp.sqrt(
+            jnp.maximum(norm2p - jnp.float32(8.0), 0.0)
+        )
+        keep = (
+            (sp > 0)
+            & (norm2p > jnp.float32(-8.0))
+            & (n2n[:, None] > 0)
+            & (num > thr_eps * den_lo - jnp.float32(48.0))
+            & col_ok
+            & (y < Hs)  # rows >= Hs are padding: their bytes stay 0
+        )
+        keepf = keep.astype(jnp.float32)
+        packed = jnp.dot(
+            keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
+        )  # [Tt, W1/8]
+        bytes_ref[0, r, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)
+        ksum = keepf.sum(axis=1, keepdims=True)
+        acc_counts = ksum if acc_counts is None else acc_counts + ksum
+    counts_ref[:, :, :] = counts_ref[:, :, :] + acc_counts.astype(jnp.int32)[None]
+
+
 def _pad_to_b(a: jax.Array, rows: int, cols: int) -> jax.Array:
     """Pad the trailing two dims of [B, H, W] up to (rows, cols)."""
     return jnp.pad(a, ((0, 0), (0, rows - a.shape[1]), (0, cols - a.shape[2])))
@@ -193,16 +270,37 @@ def _candidates_impl(
     gm[xs, xs // 8] = (1 << (xs % 8)).astype(np.float32)
     gmat = jnp.asarray(gm)
 
-    kernel = functools.partial(_kernel, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
-    grid = (B, Tp // Tt, Hs8)
     # trace the kernel with x64 OFF: under the package-global jax_enable_x64,
     # python-int literals in BlockSpec index maps / kernel body become i64
     # constants, and Mosaic cannot legalize i64 (func.return (i64, i64))
-    with jax.enable_x64(False):
-        mask_bytes, counts = _call(
-            kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_i.shape, interpret,
-            thr_arr, img_i, ndm, sp_f, s2p_f, sn_n, n2n, gmat,
-        )
+    if pallas_mode(H, W, nw, nh) == "tiled":
+        # row-banded residency: materialize overlapping image row bands in
+        # HBM (≈2x the f32 page — HBM is plentiful; VMEM was the constraint)
+        # and stream one band per grid step. sp/s2p tile cleanly (Hs8 is a
+        # multiple of _TROWS).
+        n_tiles = Hs8 // _TROWS
+        band = _TROWS + nh - 1
+        ridx = (
+            np.arange(n_tiles)[:, None] * _TROWS + np.arange(band)[None, :]
+        )  # [n_tiles, band] rows into img_i (Hp = Hs8 + nh - 1 >= max+1)
+        img_t = img_i[:, ridx, :]  # [B, n_tiles, band, Wp]
+        sp_t = sp_f.reshape(B, n_tiles, _TROWS, W1)
+        s2p_t = s2p_f.reshape(B, n_tiles, _TROWS, W1)
+        kernel = functools.partial(_kernel_tiled, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
+        grid = (B, Tp // Tt, n_tiles)
+        with jax.enable_x64(False):
+            mask_bytes, counts = _call_tiled(
+                kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, img_t.shape[-1],
+                interpret, thr_arr, img_t, ndm, sp_t, s2p_t, sn_n, n2n, gmat,
+            )
+    else:
+        kernel = functools.partial(_kernel, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
+        grid = (B, Tp // Tt, Hs8)
+        with jax.enable_x64(False):
+            mask_bytes, counts = _call(
+                kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_i.shape, interpret,
+                thr_arr, img_i, ndm, sp_f, s2p_f, sn_n, n2n, gmat,
+            )
     mask_bytes = jnp.swapaxes(mask_bytes[:, :, :T], 1, 2)  # -> [B, T, Hs8, WB]
     counts = counts[:, :T, 0]
 
@@ -343,6 +441,46 @@ def _call(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_shape, interpret, *args):
     )(*args)
 
 
+def _call_tiled(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, Wp,
+                interpret, *args):
+    """pallas_call wrapper for the row-tiled kernel: the image input is the
+    pre-banded [B, n_tiles, band, Wp] array (one overlapping row band per
+    grid step), outputs have the same global layout as _call's."""
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Tp, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, band, Wp), lambda b, i, yt: (b, yt, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, n), lambda b, i, yt: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _TROWS, W1), lambda b, i, yt: (b, yt, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _TROWS, W1), lambda b, i, yt: (b, yt, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, 1), lambda b, i, yt: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, 1), lambda b, i, yt: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W1, WB), lambda b, i, yt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _TROWS, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tt, 1), lambda b, i, yt: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((n, W1), jnp.bfloat16)],
+        interpret=interpret,
+    )(*args)
+
+
 def word_stride(W: int, nw: int) -> int:
     """Mask words per row (ceil of the window-column count / 32)."""
     return (W - nw + 1 + 31) // 32
@@ -354,25 +492,12 @@ def words_per_needle(H: int, W: int, nw: int, nh: int) -> int:
     return Hs8 * word_stride(W, nw)
 
 
-def pallas_supported(
-    H: int, W: int, nw: int, nh: int, threshold: float, eps: float = 1e-3
-) -> bool:
-    """Whether the Pallas path handles this configuration (exact-integer
-    bounds, VMEM budget, positive algebraic threshold); callers use the XLA
-    path otherwise."""
-    Hs = H - nh + 1
+def _vmem_whole(H: int, W: int, nw: int, nh: int) -> int:
+    """VMEM bytes for the whole-page-resident kernel (_kernel)."""
+    Hs8 = ((H - nh + 1 + 7) // 8) * 8
     W1 = word_stride(W, nw) * 32
-    if Hs < 8 or W - nw + 1 < 2 or nw > 16:
-        return False
-    if np.float32(threshold) - np.float32(eps) <= 0:
-        return False  # num > c*den needs c > 0 to be equivalent to sim > c
-    if nh * nw * 65025 >= 2**24:
-        return False  # acc/sp/s2p must be exact in f32 (no in-kernel nibble split)
-    if H * nw * 65025 >= 2**31:
-        return False  # window_stats would need i64 (f32 stats lose exactness)
-    Hs8 = ((Hs + 7) // 8) * 8
     K = nh * nw
-    vmem = (
+    return (
         4 * (Hs8 + nh - 1) * (W1 + nw)  # image (f32)
         + 2 * 4 * Hs8 * W1  # sp + s2p planes
         + 4 * W1 * (W1 // 8)  # gmat bit-packing matrix (quadratic in W!)
@@ -380,4 +505,57 @@ def pallas_supported(
         + 4 * _TTILE * K  # needle tile
         + _TTILE * (W1 // 8)  # bytes out block (+ counts, negligible)
     )
-    return vmem < 10 * 2**20
+
+
+def _vmem_tiled(H: int, W: int, nw: int, nh: int) -> int:
+    """VMEM bytes for the row-tiled kernel (_kernel_tiled): only one
+    _TROWS-row band is resident (double-buffered), so the page height drops
+    out entirely — tall pages stream through. Width still enters via the
+    gmat packing matrix (quadratic in W1)."""
+    W1 = word_stride(W, nw) * 32
+    Wp = W1 + nw - 1
+    K = nh * nw
+    band = _TROWS + nh - 1
+    return (
+        2 * 4 * band * Wp  # img band x2 (pipeline double buffering)
+        + 2 * 2 * 4 * _TROWS * W1  # sp + s2p bands x2
+        + 4 * W1 * (W1 // 8)  # gmat
+        + 2 * K * W1  # bf16 im2col scratch
+        + 4 * _TTILE * K  # needle tile
+        + 4 * _TTILE * W1  # acc transient
+        + 2 * _TROWS * _TTILE * (W1 // 8)  # bytes out block x2
+    )
+
+
+_VMEM_BUDGET = 10 * 2**20
+
+
+def pallas_mode(H: int, W: int, nw: int, nh: int) -> str | None:
+    """Which kernel residency scheme handles this configuration: 'whole'
+    (page resident, the proven default for letter-size pages), 'tiled'
+    (row-banded streaming for tall pages), or None (XLA fallback — e.g.
+    needles wider than 16 px, or pages so WIDE the packing matrix alone
+    overflows VMEM)."""
+    Hs = H - nh + 1
+    if Hs < 8 or W - nw + 1 < 2 or nw > 16:
+        return None
+    if nh * nw * 65025 >= 2**24:
+        return None  # acc/sp/s2p must be exact in f32 (no in-kernel nibble split)
+    if H * nw * 65025 >= 2**31:
+        return None  # window_stats would need i64 (f32 stats lose exactness)
+    if _vmem_whole(H, W, nw, nh) < _VMEM_BUDGET:
+        return "whole"
+    if _vmem_tiled(H, W, nw, nh) < _VMEM_BUDGET:
+        return "tiled"
+    return None
+
+
+def pallas_supported(
+    H: int, W: int, nw: int, nh: int, threshold: float, eps: float = 1e-3
+) -> bool:
+    """Whether the Pallas path handles this configuration (exact-integer
+    bounds, VMEM budget in either residency mode, positive algebraic
+    threshold); callers use the XLA path otherwise."""
+    if np.float32(threshold) - np.float32(eps) <= 0:
+        return False  # num > c*den needs c > 0 to be equivalent to sim > c
+    return pallas_mode(H, W, nw, nh) is not None

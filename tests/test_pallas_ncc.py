@@ -163,6 +163,103 @@ def test_get_hits_many_wave_parity_mixed_shapes(mono_font_path):
     assert [key(h) for h in many] == [key(h) for h in singles]
 
 
+def test_pallas_tiled_mask_matches_xla_candidates(monkeypatch):
+    """The row-tiled kernel (_kernel_tiled) must produce the same ε-superset
+    mask semantics as the XLA path: forced into tiled mode on a small page
+    by shrinking the VMEM budget (fresh shape => fresh trace), candidates
+    must contain every XLA candidate in scan order."""
+    rng = np.random.default_rng(9)
+    # fresh shape (no cached whole-mode trace); tall enough that whole-page
+    # residency costs more VMEM than the row-banded scheme
+    H, W, T, nh, nw = 200, 103, 6, 9, 13
+    tiled_need = pallas_ncc._vmem_tiled(H, W, nw, nh)
+    whole_need = pallas_ncc._vmem_whole(H, W, nw, nh)
+    assert tiled_need < whole_need, "budget trick needs tiled < whole"
+    monkeypatch.setattr(pallas_ncc, "_VMEM_BUDGET", (tiled_need + whole_need) // 2)
+    assert pallas_ncc.pallas_mode(H, W, nw, nh) == "tiled"
+
+    img = rng.integers(0, 40, (H, W), dtype=np.uint8)
+    needles = rng.integers(0, 255, (T, nh, nw), dtype=np.uint8)
+    for t, (x, y) in enumerate([(5, 9), (40, 30), (70, 50), (22, 61)]):
+        img[y : y + nh, x : x + nw] = needles[t % T]
+    s_n = needles.reshape(T, -1).astype(np.int64).sum(1)
+    s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
+    thr = jnp.asarray(np.float32(0.8))
+    widx, wval, counts, nzw = jax.device_get(
+        pallas_ncc.ncc_candidates_pallas(
+            jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
+            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
+        )
+    )
+    idx, acc, sp, s2p, cnt = jax.device_get(
+        ncc_ops.ncc_candidates(
+            jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
+            jnp.asarray(s2), thr, nw=nw, nh=nh, cap=512,
+        )
+    )
+    WW = pallas_ncc.word_stride(W, nw)
+    stride = pallas_ncc.words_per_needle(H, W, nw, nh)
+    W2 = W - nw
+    assert nzw[0] <= len(widx)
+    found_any = 0
+    for t in range(T):
+        cand = _unpack(widx, wval, WW, stride, t)
+        xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
+        found_any += len(xla)
+        assert set(xla) <= set(cand), f"needle {t}: tiled kernel dropped candidates"
+        both = [c for c in cand if c in set(xla)]
+        assert both == xla, f"needle {t}: scan order differs"
+        assert counts[t] >= cnt[t]
+    assert found_any > 0
+
+
+def test_pallas_tiled_matcher_matches_oracle(mono_font_path, monkeypatch):
+    """Full matcher pipeline through the row-tiled kernel: bit-identical to
+    the oracle (same page shape trick as above, fresh shape)."""
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    H, W = 210, 131  # fresh shape, tall enough that tiled needs less VMEM
+    page = synthesize_page(face, ["AB01ab", "10BAba"], dopts, ropts, "AB01ab", (H, W))
+    m = NccMatcher(face, "AB01ab", ropts, x_bits=1, threshold=0.8, device_kernel="pallas")
+    lo = min(
+        pallas_ncc._vmem_tiled(H, W, g.nw, g.nh) for g in m.groups
+    )
+    hi = min(
+        pallas_ncc._vmem_whole(H, W, g.nw, g.nh) for g in m.groups
+    )
+    assert lo < hi
+    monkeypatch.setattr(pallas_ncc, "_VMEM_BUDGET", (lo + hi) // 2)
+    for g in m.groups:
+        assert pallas_ncc.pallas_mode(H, W, g.nw, g.nh) == "tiled"
+    hp = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    assert len(hp) > 0
+    key = lambda hs: [
+        (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs
+    ]
+    assert key(hp) == key(ho)
+
+
+def test_pallas_mode_selection():
+    """Residency-mode policy: letter pages stay whole-page; a 2500x2000 scan
+    (VERDICT r2 #4's acceptance bar) goes tiled instead of dropping to XLA;
+    wide needles and ultra-wide pages still fall back."""
+    assert pallas_ncc.pallas_mode(792, 662, 9, 13) == "whole"
+    assert pallas_ncc.pallas_mode(2500, 2000, 9, 13) == "tiled"
+    assert pallas_ncc.pallas_supported(2500, 2000, 9, 13, 0.8)
+    assert pallas_ncc.pallas_mode(2500, 2000, 17, 13) is None  # needle too wide
+    assert pallas_ncc.pallas_mode(100, 100_000, 9, 13) is None  # gmat quadratic
+    assert pallas_ncc.pallas_supported(4000, 2000, 8, 5, 0.8)  # tall: streams
+    # beyond ~4100 rows (nw=8) the window_stats i32-exactness gate still
+    # applies — tiling lifts the VMEM ceiling, not the integer-range one
+    assert pallas_ncc.pallas_mode(8000, 2000, 8, 5) is None
+
+
 def test_pallas_unsupported_configs():
     assert not pallas_ncc.pallas_supported(10, 100, 8, 5, 0.8)  # too few rows
     assert not pallas_ncc.pallas_supported(100, 100, 17, 5, 0.8)  # needle too wide
