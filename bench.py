@@ -229,7 +229,11 @@ def bench_ncc(face, reps: int) -> float:
     from focr_tpu.models.types import DecodeOptions, NCC_DEFAULT_ALPHABET, RenderOptions
     from focr_tpu.io.synth import synthesize_page, random_text_lines
 
-    n_pages = int(os.environ.get("BENCH_NCC_PAGES", "16"))
+    # 64 pages = multiple dispatch waves, so the measured region includes the
+    # pipeline's steady state (upload/compute/fetch/replay overlapped) rather
+    # than one unoverlapped wave — a real corpus run's shape (ncc.rs:839-847
+    # fans a whole directory out the same way)
+    n_pages = int(os.environ.get("BENCH_NCC_PAGES", "64"))
     ropts = RenderOptions(size=13.0)
     dopts = DecodeOptions(x_start=45, y_start=39, line_height=12, line_advance=15, width=608)
     shape = (792, 662)

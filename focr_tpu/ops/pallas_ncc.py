@@ -217,6 +217,7 @@ def _candidates_impl(
     nw: int,
     nh: int,
     capw: int,
+    k1_cap: int,
     eps: float,
     interpret: bool,
 ):
@@ -309,29 +310,75 @@ def _candidates_impl(
     packed = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
 
     # compact the nonzero words GLOBALLY (per page) in (needle, scan) order —
-    # ascending linear index over the flattened [T, Hs8*WW] plane preserves both
-    flat = packed.reshape(B, T * Hs8 * WW)
+    # ascending linear index over the flattened [T, Hs8*WW] plane preserves
+    # both. Two levels, because one global top_k is ~17x more device time
+    # than this (TPU TopK cost cliffs hard above k≈32; measured 413ms vs
+    # ~25ms per 32-page wave on the dense bench corpus):
+    #   1. per SEGMENT of S words, top_k with a small adaptive k1 — each
+    #      segment keeps its first k1 nonzero words (ascending), with the
+    #      true per-segment count returned so the caller can detect k1
+    #      overflow and redo with a bigger k1 (same protocol as capw);
+    #   2. one ascending sort of the nseg*k1 surviving global indices —
+    #      a ~60x smaller domain than the word plane — then slice capw.
+    M = T * Hs8 * WW
+    flat = packed.reshape(B, M)
     nz = flat != 0
-    word_lin = jax.lax.iota(jnp.int32, T * Hs8 * WW)
+    nz_words = nz.sum(axis=1, dtype=jnp.int32)
     big = jnp.int32(2**31 - 1)
-    key = jnp.where(nz, word_lin[None], big)
-    k = min(capw, T * Hs8 * WW)
-    neg_top, _ = jax.lax.top_k(-key, k)
-    idx = -neg_top  # [B, k] ascending per page
+    S = _seg_size(Hs8 * WW)
+    nseg = M // S
+    k1 = min(k1_cap, S)
+    segs = flat.reshape(B, nseg, S)
+    seg_nz = segs != 0
+    seg_counts = seg_nz.sum(axis=2, dtype=jnp.int32)  # [B, nseg]
+    max_seg = seg_counts.max(axis=1)  # [B]
+    # self-describing overflow signal: 0 = every nonzero word survived level
+    # 1 (results complete); >0 = the measured per-segment max, which exceeded
+    # k1 — the collect path can't know which k1 this dispatch used (the
+    # cached cap may have grown since), so the signal must carry its own
+    # verdict rather than a raw count to compare
+    seg_need = jnp.where(max_seg > k1, max_seg, 0)
+    lin = jax.lax.iota(jnp.int32, S)
+    key1 = jnp.where(seg_nz, lin[None, None], big)
+    neg1, _ = jax.lax.top_k(-key1, k1)  # [B, nseg, k1] local ascending
+    loc = -neg1
+    seg_base = jax.lax.iota(jnp.int32, nseg) * S
+    gidx = jnp.where(loc < big, loc + seg_base[None, :, None], big)
+    gidx = gidx.reshape(B, nseg * k1)
+    skey = jax.lax.sort(gidx, dimension=1)  # ascending global word indices
+    k = min(capw, nseg * k1)
+    idx = skey[:, :k]
     found = idx < big
     idx_safe = jnp.where(found, idx, 0)
     vals = jnp.take_along_axis(flat, idx_safe, axis=1)
-    nz_words = nz.sum(axis=1, dtype=jnp.int32)
+    if k < capw:  # tiny domains: keep the advertised [B, capw] output shape
+        pad = capw - k
+        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=big)
+        found = jnp.pad(found, ((0, 0), (0, pad)))
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
     return (
         jnp.where(found, idx, -1),
         jnp.where(found, vals, 0),
         counts,
         nz_words,
+        seg_need,
     )
 
 
+def _seg_size(PN: int) -> int:
+    """Level-1 compaction segment size: a divisor of the per-needle word
+    count PN (so segmentation is identical across needles), targeting ~1k
+    words per segment — small enough that k1=16 rarely overflows, large
+    enough that the segment count stays modest. PN is always a multiple of 8
+    (Hs8 is)."""
+    for q in (16, 8, 4, 2):
+        if PN % q == 0 and PN // q >= 512:
+            return PN // q
+    return PN
+
+
 @functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
+    jax.jit, static_argnames=("nw", "nh", "capw", "k1_cap", "eps", "interpret")
 )
 def ncc_candidates_pallas(
     img: jax.Array,  # [H, W] inverted page (u8/i32 values 0..255)
@@ -343,12 +390,13 @@ def ncc_candidates_pallas(
     nw: int,
     nh: int,
     capw: int,
+    k1_cap: int = 16,
     eps: float = 1e-3,
     interpret: bool = False,
 ):
     """Pallas-backed candidate search for one needle-size group, one page.
 
-    Returns (word_idx, word_val, counts, nz_words):
+    Returns (word_idx, word_val, counts, nz_words, max_seg):
       word_idx [capw] i32 — ascending GLOBAL linear indices of the first capw
                nonzero 32-bit mask words across ALL needles; index g belongs
                to needle t = g // (Hs8*WW), and its word w = g % (Hs8*WW)
@@ -362,6 +410,12 @@ def ncc_candidates_pallas(
       nz_words [1] i32    — total nonzero words; needles whose word ranges
                lie past the capw-th kept word were truncated (overflow iff
                nz_words > capw) and need the host fallback
+      seg_need [1] i32    — 0 when every nonzero word survived the level-1
+               segmented compaction; otherwise the measured max per-segment
+               word count, meaning results are INCOMPLETE (words dropped
+               mid-plane, not suffix-truncated) and the caller must redo
+               with k1_cap >= this value (same remember-and-redo protocol
+               as capw overflow)
 
     One global buffer instead of a [T, capw] plane cuts the device->host
     fetch ~T× (the per-needle padding is almost entirely empty), which is the
@@ -369,14 +423,15 @@ def ncc_candidates_pallas(
     order: ascending word, ascending bit) and replays the exact f64
     similarity per candidate.
     """
-    widx, wval, counts, nzw = _candidates_impl(
-        img[None], needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
+    widx, wval, counts, nzw, seg_need = _candidates_impl(
+        img[None], needles, s_n, s2_n, threshold, nw, nh, capw, k1_cap, eps,
+        interpret
     )
-    return widx[0], wval[0], counts[0], nzw
+    return widx[0], wval[0], counts[0], nzw, seg_need
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
+    jax.jit, static_argnames=("nw", "nh", "capw", "k1_cap", "eps", "interpret")
 )
 def ncc_candidates_pallas_batch(
     imgs: jax.Array,  # [B, H, W] inverted pages (u8/i32 values 0..255)
@@ -388,6 +443,7 @@ def ncc_candidates_pallas_batch(
     nw: int,
     nh: int,
     capw: int,
+    k1_cap: int = 16,
     eps: float = 1e-3,
     interpret: bool = False,
 ):
@@ -398,10 +454,12 @@ def ncc_candidates_pallas_batch(
     round-trip tax was the dense-corpus pipeline's long pole.
 
     Returns (word_idx [B, capw], word_val [B, capw], counts [B, T],
-    nz_words [B]); per-page semantics identical to ncc_candidates_pallas.
+    nz_words [B], seg_need [B]); per-page semantics identical to
+    ncc_candidates_pallas.
     """
     return _candidates_impl(
-        imgs, needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
+        imgs, needles, s_n, s2_n, threshold, nw, nh, capw, k1_cap, eps,
+        interpret
     )
 
 
