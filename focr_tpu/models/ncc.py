@@ -32,7 +32,7 @@ from focr_tpu.ops import ncc as ncc_ops
 from focr_tpu.ops import pallas_ncc
 
 
-def ncc_ops_pallas_call(inv_j, grp, dev, capw: int, k1: int = 16):
+def ncc_ops_pallas_call(inv_j, grp, dev, capw: int):
     """Invoke the Pallas bitmask kernel for one size group (interpret mode
     off-TPU so CPU CI exercises the same code path). ``dev`` is the group's
     cached device-resident (bank, s_n, s2_n, threshold) tuple."""
@@ -47,12 +47,11 @@ def ncc_ops_pallas_call(inv_j, grp, dev, capw: int, k1: int = 16):
         nw=grp.nw,
         nh=grp.nh,
         capw=capw,
-        k1_cap=k1,
         interpret=interpret,
     )
 
 
-def ncc_ops_pallas_call_batch(inv_j, grp, dev, capw: int, k1: int = 16):
+def ncc_ops_pallas_call_batch(inv_j, grp, dev, capw: int):
     """Batched-page variant: ONE kernel dispatch sweeps a [B, H, W] wave
     (page axis = outermost grid dim) and returns [B, ...] result buffers, so
     a wave costs one dispatch + one fetch per size group instead of B of
@@ -69,7 +68,6 @@ def ncc_ops_pallas_call_batch(inv_j, grp, dev, capw: int, k1: int = 16):
         nw=grp.nw,
         nh=grp.nh,
         capw=capw,
-        k1_cap=k1,
         interpret=interpret,
     )
 
@@ -81,14 +79,6 @@ _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA pa
 # bumped size for subsequent pages.
 _CAPW_START = 4096  # 32KB fetch
 _CAPW_MAX = 32768  # 256KB fetch
-# Level-1 (segmented) compaction cap inside the kernel's word-compaction
-# epilogue. TPU TopK cost cliffs hard above k≈32 (measured 6x), so start at
-# 16 and grow per group only when a page's densest segment overflows it —
-# pow2 growth bounds the number of distinct compiled kernels. seg_need > 0
-# in the kernel output means words were dropped MID-PLANE (not a suffix), so
-# an overflow MUST redo before any replay; the redo's k1 is sized to the
-# measured max so it cannot overflow again on the same page.
-_K1_START = 16
 
 _EMPTY = (
     np.zeros(0, np.int64),
@@ -283,7 +273,6 @@ class NccMatcher:
         assert device_kernel in ("pallas", "xla")
         self.device_kernel = device_kernel
         self._capw: dict[tuple[int, int], int] = {}  # (nh, nw) -> current capw
-        self._k1: dict[tuple[int, int], int] = {}  # (nh, nw) -> level-1 cap
         # device-resident per-group constants (bank, s_n, s2_n, threshold):
         # uploaded once PER DEVICE, reused for every page (re-uploading per
         # page costs a host->device round trip per group on the remote
@@ -569,10 +558,7 @@ class NccMatcher:
                     H, W, grp.nw, grp.nh, self.threshold
                 ):
                     capw = self._capw.get((grp.nh, grp.nw), _CAPW_START)
-                    k1 = self._k1.get((grp.nh, grp.nw), _K1_START)
-                    outs = ncc_ops_pallas_call_batch(
-                        inv_j, grp, dev, capw=capw, k1=k1
-                    )
+                    outs = ncc_ops_pallas_call_batch(inv_j, grp, dev, capw=capw)
                     plans.append((grp, "pallas", outs))
                 else:
                     bank_j, s_n_j, s2_n_j, thr_j = dev
@@ -625,12 +611,11 @@ class NccMatcher:
                         for pp in page_plans:
                             pp.append((grp, "empty", None))
                     elif kind == "pallas":
-                        widx, wval, counts, nzw, segn = next(it)
+                        widx, wval, counts, nzw = next(it)
                         for k, pp in enumerate(page_plans):
                             pp.append(
                                 (grp, "pallas",
-                                 (widx[k], wval[k], counts[k],
-                                  nzw[k : k + 1], segn[k : k + 1]))
+                                 (widx[k], wval[k], counts[k], nzw[k : k + 1]))
                             )
                     else:
                         for pp in page_plans:
@@ -853,42 +838,26 @@ class NccMatcher:
     ):
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
-        widx, wval, counts, nzw, segn = (np.asarray(o) for o in outs)
+        widx, wval, counts, nzw = (np.asarray(o) for o in outs)
         inv_u8 = tables.inv_u8
-        gkey = (grp.nh, grp.nw)
-        seg_over = int(segn[0]) > 0
-        if seg_over:
-            # level-1 compaction overflow: the kernel dropped nonzero words
-            # MID-PLANE (each segment keeps only its first k1), so unlike the
-            # capw case no suffix-suspect logic can save the partial result —
-            # a redo is mandatory. Size k1 to the measured per-segment max
-            # (pow2-rounded: bounds distinct compiled kernels); the kernel
-            # clamps k1 to the segment size, so the redo cannot overflow.
-            k1_new = 1 << (int(segn[0]) - 1).bit_length()
-            self._k1[gkey] = max(self._k1.get(gkey, _K1_START), k1_new)
-        if seg_over or (
-            int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX
-        ):
-            # redo this page once with grown caps (an exact device redo beats
-            # per-needle host fallbacks). On capw overflow below the ceiling,
-            # grow this group's capw to
-            # 1.25x the MEASURED word count (nzw is exact), rounded up to a
-            # 4096-word step — the per-page result fetch stays sized to the
-            # corpus density (the d2h fetch is the ncc pipeline's long pole)
-            # instead of doubling past it, the 25% headroom absorbs page-to-
-            # page density variation, and the step granularity bounds the
-            # number of distinct compiled cap sizes — then re-dispatch THIS
-            # page once (an exact device redo beats per-needle host
-            # fallbacks). A denser later page re-grows the same way.
-            if int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX:
-                need = max(int(nzw[0]), 2 * widx.shape[0])
-                capw_new = min(_CAPW_MAX, -(-(need + (need >> 2)) // 4096) * 4096)
-                # benign race under page-parallel collect: concurrent
-                # overflows each redo exactly and last-write-wins on the
-                # cached cap; a later page that needs more simply regrows
-                self._capw[(grp.nh, grp.nw)] = capw_new
-            else:  # seg-only redo: the fetch size was fine, keep it
-                capw_new = widx.shape[0]
+        if int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX:
+            # global word-cap overflow (suffix truncation — the rank
+            # compaction is exact first-capw, so this is the only loss mode):
+            # grow this group's capw to 1.25x the MEASURED word count (nzw is
+            # exact), rounded up to a 4096-word step — the per-page result
+            # fetch stays sized to the corpus density (the d2h fetch is the
+            # ncc pipeline's long pole) instead of doubling past it, the 25%
+            # headroom absorbs page-to-page density variation, and the step
+            # granularity bounds the number of distinct compiled cap sizes —
+            # then re-dispatch THIS page once (an exact device redo beats
+            # per-needle host fallbacks). A denser later page re-grows the
+            # same way.
+            need = max(int(nzw[0]), 2 * widx.shape[0])
+            capw_new = min(_CAPW_MAX, -(-(need + (need >> 2)) // 4096) * 4096)
+            # benign race under page-parallel collect: concurrent overflows
+            # each redo exactly and last-write-wins on the cached cap; a
+            # later page that needs more simply regrows
+            self._capw[(grp.nh, grp.nw)] = capw_new
             # the redo stays on the page's dispatch device: in the mesh
             # scatter path a default-device redo would re-upload every
             # group's constants to chip 0 and contend with its sweeps
@@ -899,15 +868,8 @@ class NccMatcher:
                 jnp.asarray(inv_u8) if device is None
                 else jax.device_put(inv_u8, device)
             )
-            redo = ncc_ops_pallas_call(
-                inv_dev, grp, dev, capw=capw_new,
-                k1=self._k1.get(gkey, _K1_START),
-            )
-            widx, wval, counts, nzw, segn = jax.device_get(redo)
-            # the redo's k1 was sized to this page's measured per-segment max
-            # (and the kernel clamps k1 to the segment size), so a second
-            # level-1 overflow is impossible — anything else is a kernel bug
-            assert int(segn[0]) == 0, "k1 redo overflowed: kernel invariant broken"
+            redo = ncc_ops_pallas_call(inv_dev, grp, dev, capw=capw_new)
+            widx, wval, counts, nzw = jax.device_get(redo)
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
         bit = np.arange(32, dtype=np.int64)

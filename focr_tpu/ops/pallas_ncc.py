@@ -217,7 +217,6 @@ def _candidates_impl(
     nw: int,
     nh: int,
     capw: int,
-    k1_cap: int,
     eps: float,
     interpret: bool,
 ):
@@ -302,83 +301,136 @@ def _candidates_impl(
                 kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_i.shape, interpret,
                 thr_arr, img_i, ndm, sp_f, s2p_f, sn_n, n2n, gmat,
             )
-    mask_bytes = jnp.swapaxes(mask_bytes[:, :, :T], 1, 2)  # -> [B, T, Hs8, WB]
     counts = counts[:, :T, 0]
+    idx, vals, nz_words = _compact_rank(mask_bytes, B, T, Tp, Hs8, WW, capw)
+    return idx, vals, counts, nz_words
 
-    # bytes -> 32-bit words (cheap XLA pass over the 8x-packed mask)
-    b = mask_bytes.reshape(B, T, Hs8, WW, 4).astype(jnp.int32)
-    packed = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
 
-    # compact the nonzero words GLOBALLY (per page) in (needle, scan) order —
-    # ascending linear index over the flattened [T, Hs8*WW] plane preserves
-    # both. Two levels, because one global top_k is ~17x more device time
-    # than this (TPU TopK cost cliffs hard above k≈32; measured 413ms vs
-    # ~25ms per 32-page wave on the dense bench corpus):
-    #   1. per SEGMENT of S words, top_k with a small adaptive k1 — each
-    #      segment keeps its first k1 nonzero words (ascending), with the
-    #      true per-segment count returned so the caller can detect k1
-    #      overflow and redo with a bigger k1 (same protocol as capw);
-    #   2. one ascending sort of the nseg*k1 surviving global indices —
-    #      a ~60x smaller domain than the word plane — then slice capw.
-    M = T * Hs8 * WW
-    flat = packed.reshape(B, M)
-    nz = flat != 0
-    nz_words = nz.sum(axis=1, dtype=jnp.int32)
-    big = jnp.int32(2**31 - 1)
-    S = _seg_size(Hs8 * WW)
-    nseg = M // S
-    k1 = min(k1_cap, S)
-    segs = flat.reshape(B, nseg, S)
-    seg_nz = segs != 0
-    seg_counts = seg_nz.sum(axis=2, dtype=jnp.int32)  # [B, nseg]
-    max_seg = seg_counts.max(axis=1)  # [B]
-    # self-describing overflow signal: 0 = every nonzero word survived level
-    # 1 (results complete); >0 = the measured per-segment max, which exceeded
-    # k1 — the collect path can't know which k1 this dispatch used (the
-    # cached cap may have grown since), so the signal must carry its own
-    # verdict rather than a raw count to compare
-    seg_need = jnp.where(max_seg > k1, max_seg, 0)
-    lin = jax.lax.iota(jnp.int32, S)
-    key1 = jnp.where(seg_nz, lin[None, None], big)
-    neg1, _ = jax.lax.top_k(-key1, k1)  # [B, nseg, k1] local ascending
-    loc = -neg1
-    seg_base = jax.lax.iota(jnp.int32, nseg) * S
-    gidx = jnp.where(loc < big, loc + seg_base[None, :, None], big)
-    gidx = gidx.reshape(B, nseg * k1)
-    skey = jax.lax.sort(gidx, dimension=1)  # ascending global word indices
-    k = min(capw, nseg * k1)
-    idx = skey[:, :k]
-    found = idx < big
-    idx_safe = jnp.where(found, idx, 0)
-    vals = jnp.take_along_axis(flat, idx_safe, axis=1)
-    if k < capw:  # tiny domains: keep the advertised [B, capw] output shape
-        pad = capw - k
-        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=big)
-        found = jnp.pad(found, ((0, 0), (0, pad)))
-        vals = jnp.pad(vals, ((0, 0), (0, pad)))
-    return (
-        jnp.where(found, idx, -1),
-        jnp.where(found, vals, 0),
-        counts,
-        nz_words,
-        seg_need,
+_SUB = 32  # rank-compaction L0 granularity: words per sub-block
+_NB = 64  # sub-blocks per L1 block (block = _SUB * _NB = 2048 words)
+
+
+def _rows(mat: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched row gather: mat [B, R, C], idx [B, K] -> [B, K, C]; lowers to
+    one XLA gather with slice size (1, C) — the index array stays [B, K]
+    (a take_along_axis broadcast would materialize [B, K, C] indices)."""
+    return jax.vmap(lambda m, i: m[i])(mat, idx)
+
+
+def _triu_cum(rows: jax.Array, tri: jax.Array) -> jax.Array:
+    """Inclusive prefix sums over the minor axis as ONE small MXU matmul
+    (cum[j] = Σ_{k<=j} rows[k] = rows @ upper-triangular ones). Exact: counts
+    are integers <= _SUB * _NB = 2048 < 2^24, bf16 inputs (values <= 32 are
+    exact) accumulate in f32. XLA's cumsum would instead run log(n)
+    reduce-window passes over the gathered plane — measured ~10x slower."""
+    return jnp.dot(
+        rows.astype(jnp.bfloat16), tri, preferred_element_type=jnp.float32
     )
 
 
-def _seg_size(PN: int) -> int:
-    """Level-1 compaction segment size: a divisor of the per-needle word
-    count PN (so segmentation is identical across needles), targeting ~1k
-    words per segment — small enough that k1=16 rarely overflows, large
-    enough that the segment count stays modest. PN is always a multiple of 8
-    (Hs8 is)."""
-    for q in (16, 8, 4, 2):
-        if PN % q == 0 and PN // q >= 512:
-            return PN // q
-    return PN
+def _compact_rank(
+    mask_bytes: jax.Array,  # [B, Hs8, Tp, WB] u8 — kernel output, y-major
+    B: int, T: int, Tp: int, Hs8: int, WW: int, capw: int,
+):
+    """Exact first-capw nonzero-word compaction by hierarchical rank.
+
+    Selects, per page, the first capw NONZERO 32-bit mask words in global
+    (needle, scan) order — the reference's scan order (ncc.cpp:98-100 per
+    needle; needles iterated offsets-outer, ncc.rs:587-655) — and gathers
+    their packed bits, without ever materializing the dense i32 word plane.
+    TPU-first design notes: stream compaction via top_k / sort / full-plane
+    cumsum costs 150-400ms per 32-page dense wave (TopK cliffs above k~32,
+    sorts are comparator networks, XLA cumsum is log-n reduce-window
+    passes); this formulation uses only single-pass sums, one tiny
+    searchsorted, two small row gathers, and two [64,64]-ish triangular
+    matmuls — every pass either touches the 4x-smaller flag plane once or
+    touches capw-sized data.
+
+      L2  block totals (2048 words/block) -> cumsum over ~600 blocks,
+          searchsorted locates each output slot's owning block
+      L1  per-block sub-totals (64 x 32-word sub-blocks), gathered per slot,
+          triangular-matmul prefix sums -> rank within block
+      L0  the 32 word-flags of the owning sub-block, same trick -> word
+
+    The selected word's VALUE is then four u8 gathers straight from the
+    kernel's y-major byte plane (index arithmetic maps the t-major global
+    word index to its byte row), so the bytes->words pack and the [B, T,
+    Hs8, WB] transpose of the old scheme disappear entirely.
+
+    Returns (idx [B, capw] i32 (-1 padded), vals [B, capw] i32,
+    nz_words [B] i32). Exact for every population; overflow (nz_words >
+    capw) remains suffix-truncation, handled by the caller's capw redo.
+    """
+    # word-nonzero flags in t-major order: flag[b, t, y, w] = any of word's 4
+    # bytes nonzero. One pass over the byte plane + a 4x-smaller transpose.
+    mb = mask_bytes.reshape(B, Hs8, Tp, WW, 4)
+    wf_y = mb.max(axis=4) != 0  # [B, Hs8, Tp, WW] bool
+    wf = jnp.swapaxes(wf_y[:, :, :T], 1, 2)  # [B, T, Hs8, WW]
+    M = T * Hs8 * WW
+    BLK = _SUB * _NB
+    Mp = ((M + BLK - 1) // BLK) * BLK
+    wfr = wf.reshape(B, M)
+    if Mp != M:  # zero flags in the pad zone: never selected
+        wfr = jnp.pad(wfr, ((0, 0), (0, Mp - M)))
+    nsub = Mp // _SUB
+    nblk = Mp // BLK
+    s1 = wfr.reshape(B, nsub, _SUB).sum(axis=2, dtype=jnp.int32)  # [B, nsub]
+    s2 = s1.reshape(B, nblk, _NB).sum(axis=2)  # [B, nblk]
+    c2 = jnp.cumsum(s2, axis=1)  # [B, nblk] — tiny
+    nz_words = c2[:, -1]
+
+    K = capw
+    p = jnp.arange(K, dtype=jnp.int32)
+    # owning block: first block whose inclusive total exceeds p
+    blk = jax.vmap(lambda c: jnp.searchsorted(c, p, side="right"))(c2)
+    blk = jnp.minimum(blk.astype(jnp.int32), nblk - 1)
+    before2 = jnp.take_along_axis(c2, blk, axis=1) - jnp.take_along_axis(
+        s2, blk, axis=1
+    )
+    j2 = p[None] - before2  # rank within block, valid where p < nz_words
+
+    tri_nb = jnp.asarray(np.triu(np.ones((_NB, _NB), np.float32)))
+    tri_sub = jnp.asarray(np.triu(np.ones((_SUB, _SUB), np.float32)))
+
+    rows1 = _rows(s1.reshape(B, nblk, _NB), blk)  # [B, K, _NB] i32
+    cum1 = _triu_cum(rows1, tri_nb.astype(jnp.bfloat16))  # [B, K, _NB] f32
+    j2f = j2.astype(jnp.float32)
+    sub = (cum1 <= j2f[:, :, None]).sum(axis=2, dtype=jnp.int32)
+    sub = jnp.minimum(sub, _NB - 1)
+    before1 = (
+        jnp.take_along_axis(cum1, sub[:, :, None], axis=2)
+        - jnp.take_along_axis(rows1, sub[:, :, None], axis=2).astype(jnp.float32)
+    )[:, :, 0]
+    j1 = j2f - before1  # rank within sub-block
+
+    sub_id = blk * _NB + sub  # [B, K] global sub-block index
+    rows0 = _rows(wfr.reshape(B, nsub, _SUB), sub_id)  # [B, K, _SUB] bool
+    cum0 = _triu_cum(rows0, tri_sub.astype(jnp.bfloat16))
+    loc = (cum0 <= j1[:, :, None]).sum(axis=2, dtype=jnp.int32)
+    loc = jnp.minimum(loc, _SUB - 1)
+    g = sub_id * _SUB + loc  # [B, K] global word index, t-major
+
+    # value fetch: map t-major g -> the y-major byte plane's word row
+    hsww = Hs8 * WW
+    t = g // hsww
+    rem = g - t * hsww
+    y = rem // WW
+    w = rem - y * WW
+    # pad-zone g (only where found == False) can map past T-1: clamp the row
+    # so the discarded gather stays in bounds
+    word_row = jnp.minimum((y * Tp + t) * WW + w, Hs8 * Tp * WW - 1)
+    mrows = mask_bytes.reshape(B, Hs8 * Tp * WW, 4)
+    b4 = _rows(mrows, word_row).astype(jnp.int32)  # [B, K, 4]
+    vals = b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16) | (b4[..., 3] << 24)
+
+    found = p[None] < jnp.minimum(nz_words, jnp.int32(K))[:, None]
+    idx = jnp.where(found, g, -1)
+    vals = jnp.where(found, vals, 0)
+    return idx, vals, nz_words
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "capw", "k1_cap", "eps", "interpret")
+    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
 )
 def ncc_candidates_pallas(
     img: jax.Array,  # [H, W] inverted page (u8/i32 values 0..255)
@@ -390,13 +442,12 @@ def ncc_candidates_pallas(
     nw: int,
     nh: int,
     capw: int,
-    k1_cap: int = 16,
     eps: float = 1e-3,
     interpret: bool = False,
 ):
     """Pallas-backed candidate search for one needle-size group, one page.
 
-    Returns (word_idx, word_val, counts, nz_words, max_seg):
+    Returns (word_idx, word_val, counts, nz_words):
       word_idx [capw] i32 — ascending GLOBAL linear indices of the first capw
                nonzero 32-bit mask words across ALL needles; index g belongs
                to needle t = g // (Hs8*WW), and its word w = g % (Hs8*WW)
@@ -409,13 +460,9 @@ def ncc_candidates_pallas(
       counts   [T] i32    — exact per-needle candidate count
       nz_words [1] i32    — total nonzero words; needles whose word ranges
                lie past the capw-th kept word were truncated (overflow iff
-               nz_words > capw) and need the host fallback
-      seg_need [1] i32    — 0 when every nonzero word survived the level-1
-               segmented compaction; otherwise the measured max per-segment
-               word count, meaning results are INCOMPLETE (words dropped
-               mid-plane, not suffix-truncated) and the caller must redo
-               with k1_cap >= this value (same remember-and-redo protocol
-               as capw overflow)
+               nz_words > capw) and need the caller's capw redo. The
+               compaction itself is exact first-capw (hierarchical rank, no
+               lossy level), so suffix truncation is the ONLY loss mode.
 
     One global buffer instead of a [T, capw] plane cuts the device->host
     fetch ~T× (the per-needle padding is almost entirely empty), which is the
@@ -423,15 +470,14 @@ def ncc_candidates_pallas(
     order: ascending word, ascending bit) and replays the exact f64
     similarity per candidate.
     """
-    widx, wval, counts, nzw, seg_need = _candidates_impl(
-        img[None], needles, s_n, s2_n, threshold, nw, nh, capw, k1_cap, eps,
-        interpret
+    widx, wval, counts, nzw = _candidates_impl(
+        img[None], needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
     )
-    return widx[0], wval[0], counts[0], nzw, seg_need
+    return widx[0], wval[0], counts[0], nzw
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "capw", "k1_cap", "eps", "interpret")
+    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
 )
 def ncc_candidates_pallas_batch(
     imgs: jax.Array,  # [B, H, W] inverted pages (u8/i32 values 0..255)
@@ -443,7 +489,6 @@ def ncc_candidates_pallas_batch(
     nw: int,
     nh: int,
     capw: int,
-    k1_cap: int = 16,
     eps: float = 1e-3,
     interpret: bool = False,
 ):
@@ -454,12 +499,10 @@ def ncc_candidates_pallas_batch(
     round-trip tax was the dense-corpus pipeline's long pole.
 
     Returns (word_idx [B, capw], word_val [B, capw], counts [B, T],
-    nz_words [B], seg_need [B]); per-page semantics identical to
-    ncc_candidates_pallas.
+    nz_words [B]); per-page semantics identical to ncc_candidates_pallas.
     """
     return _candidates_impl(
-        imgs, needles, s_n, s2_n, threshold, nw, nh, capw, k1_cap, eps,
-        interpret
+        imgs, needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
     )
 
 

@@ -45,11 +45,10 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
     thr = jnp.asarray(np.float32(0.8))
     assert pallas_ncc.pallas_supported(H, W, nw, nh, 0.8)
 
-    widx, wval, counts, nzw, segn = jax.device_get(
+    widx, wval, counts, nzw = jax.device_get(
         pallas_ncc.ncc_candidates_pallas(
             jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
-            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, k1_cap=512,
-            interpret=True,
+            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
         )
     )
     idx, acc, sp, s2p, cnt = jax.device_get(
@@ -62,7 +61,6 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
     stride = pallas_ncc.words_per_needle(H, W, nw, nh)
     W2 = W - nw
     assert nzw[0] <= len(widx), "cap overflow would invalidate the comparison"
-    assert segn[0] == 0, "k1 overflow would invalidate the comparison"
     for t in range(T):
         cand = _unpack(widx, wval, WW, stride, t)
         xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
@@ -111,14 +109,14 @@ def test_pallas_batch_matches_single_pages():
     s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
     thr = jnp.asarray(np.float32(0.8))
 
-    bw, bv, bc, bz, bsn = jax.device_get(
+    bw, bv, bc, bz = jax.device_get(
         pallas_ncc.ncc_candidates_pallas_batch(
             jnp.asarray(imgs), jnp.asarray(needles), jnp.asarray(s_n),
             jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
         )
     )
     for b in range(3):
-        sw, sv, sc, sz, ssn = jax.device_get(
+        sw, sv, sc, sz = jax.device_get(
             pallas_ncc.ncc_candidates_pallas(
                 jnp.asarray(imgs[b]), jnp.asarray(needles), jnp.asarray(s_n),
                 jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
@@ -128,7 +126,6 @@ def test_pallas_batch_matches_single_pages():
         np.testing.assert_array_equal(bv[b], sv)
         np.testing.assert_array_equal(bc[b], sc)
         assert bz[b] == sz[0]
-        assert bsn[b] == ssn[0]
     assert bz[2] == 0 and bc[2].sum() == 0  # white page: no candidates
 
 
@@ -188,11 +185,10 @@ def test_pallas_tiled_mask_matches_xla_candidates(monkeypatch):
     s_n = needles.reshape(T, -1).astype(np.int64).sum(1)
     s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
     thr = jnp.asarray(np.float32(0.8))
-    widx, wval, counts, nzw, segn = jax.device_get(
+    widx, wval, counts, nzw = jax.device_get(
         pallas_ncc.ncc_candidates_pallas(
             jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
-            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, k1_cap=512,
-            interpret=True,
+            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
         )
     )
     idx, acc, sp, s2p, cnt = jax.device_get(
@@ -205,7 +201,6 @@ def test_pallas_tiled_mask_matches_xla_candidates(monkeypatch):
     stride = pallas_ncc.words_per_needle(H, W, nw, nh)
     W2 = W - nw
     assert nzw[0] <= len(widx)
-    assert segn[0] == 0
     found_any = 0
     for t in range(T):
         cand = _unpack(widx, wval, WW, stride, t)
@@ -332,34 +327,3 @@ def test_pallas_capw_bump_redo(mono_font_path, monkeypatch):
     )
     assert key(m.get_hits(page)) == key(ho)  # second pass: bigger cap directly
     assert m._capw == grown  # sized to need: the same page never re-grows
-
-
-def test_pallas_k1_bump_redo(mono_font_path, monkeypatch):
-    """A level-1 segmented-compaction overflow (seg_need > 0) MUST trigger an
-    exact device redo — unlike capw overflow the dropped words are mid-plane,
-    so no partial result is salvageable. Forced by starting k1 at 1; results
-    must stay bit-identical to the oracle and the grown k1 is remembered so
-    the next dispatch uses it directly."""
-    import focr_tpu.models.ncc as ncc_mod
-    from focr_tpu.fonts.ft import Face
-    from focr_tpu.io.synth import synthesize_page
-    from focr_tpu.models.ncc import NccMatcher
-    from focr_tpu.models.types import DecodeOptions, RenderOptions
-
-    monkeypatch.setattr(ncc_mod, "_K1_START", 1)
-    face = Face(mono_font_path)
-    ropts = RenderOptions(size=11.0)
-    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
-    page = synthesize_page(face, ["ABABAB", "ababab"], dopts, ropts, "ABab", (64, 128))
-    m = NccMatcher(face, "ABab", ropts, threshold=0.5, device_kernel="pallas")
-    hp = m.get_hits(page)
-    ho = m.get_hits_oracle(page)
-    key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
-    assert len(hp) > 0
-    assert key(hp) == key(ho)
-    grown = dict(m._k1)
-    assert grown and all(k > 1 and (k & (k - 1)) == 0 for k in grown.values()), (
-        "k1 never overflowed (test exercised nothing) or grew to a non-pow2"
-    )
-    assert key(m.get_hits(page)) == key(ho)  # second pass: bigger k1 directly
-    assert m._k1 == grown  # sized to measured need: no re-growth on the same page
