@@ -77,8 +77,8 @@ _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA pa
 # (typical corpora need a few hundred words), auto-bump a group to the max
 # on its first overflow (one exact device re-dispatch), and remember the
 # bumped size for subsequent pages.
-_CAPW_START = 4096  # 32KB fetch
-_CAPW_MAX = 32768  # 256KB fetch
+_CAPW_START = 4096  # 24KB fetch (6B/word: u16 local idx + u32 bits)
+_CAPW_MAX = 32768  # 192KB fetch
 
 _EMPTY = (
     np.zeros(0, np.int64),
@@ -838,13 +838,13 @@ class NccMatcher:
     ):
         """One dispatched size group: fetch the Pallas bitmask + host replay."""
         n = grp.nh * grp.nw
-        widx, wval, counts, nzw = (np.asarray(o) for o in outs)
+        widx, wval, wcnt, nzw = (np.asarray(o) for o in outs)
         inv_u8 = tables.inv_u8
         if int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX:
             # global word-cap overflow (suffix truncation — the rank
             # compaction is exact first-capw, so this is the only loss mode):
             # grow this group's capw to 1.25x the MEASURED word count (nzw is
-            # exact), rounded up to a 4096-word step — the per-page result
+            # exact), rounded up to a 1024-word step — the per-page result
             # fetch stays sized to the corpus density (the d2h fetch is the
             # ncc pipeline's long pole) instead of doubling past it, the 25%
             # headroom absorbs page-to-page density variation, and the step
@@ -853,7 +853,7 @@ class NccMatcher:
             # per-needle host fallbacks). A denser later page re-grows the
             # same way.
             need = max(int(nzw[0]), 2 * widx.shape[0])
-            capw_new = min(_CAPW_MAX, -(-(need + (need >> 2)) // 4096) * 4096)
+            capw_new = min(_CAPW_MAX, -(-(need + (need >> 2)) // 1024) * 1024)
             # benign race under page-parallel collect: concurrent overflows
             # each redo exactly and last-write-wins on the cached cap; a
             # later page that needs more simply regrows
@@ -869,32 +869,35 @@ class NccMatcher:
                 else jax.device_put(inv_u8, device)
             )
             redo = ncc_ops_pallas_call(inv_dev, grp, dev, capw=capw_new)
-            widx, wval, counts, nzw = jax.device_get(redo)
+            widx, wval, wcnt, nzw = jax.device_get(redo)
         WW = pallas_ncc.word_stride(W, grp.nw)
         stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
         bit = np.arange(32, dtype=np.int64)
 
         T = len(grp.needle_ids)
-        sel_all = widx >= 0
-        w_all = widx[sel_all].astype(np.int64)
-        v_all = wval[sel_all].astype(np.uint32)
-        nid = w_all // stride  # needle tile index per kept word (ascending)
-        # global-cap overflow: words past the capw-th were dropped; every
-        # needle from the one containing the LAST kept word onward is suspect
-        if int(nzw[0]) > widx.shape[0]:
-            first_suspect = int(nid[-1]) if len(nid) else 0
+        capw = widx.shape[0]
+        nv = min(int(nzw[0]), capw)  # valid prefix (0-padded past it)
+        w_loc = widx[:nv].astype(np.int64)  # LOCAL word index within needle
+        v_all = wval[:nv].astype(np.uint32)
+        # per-needle kept-word spans from the exact word counts (wcnt is
+        # cap-independent, so truncation is detectable per needle)
+        ends_all = np.cumsum(wcnt.astype(np.int64))
+        starts_all = ends_all - wcnt
+        # global-cap overflow: words past the capw-th were dropped; exactly
+        # the needles whose spans extend past capw are suspect
+        if int(nzw[0]) > capw:
+            first_suspect = int(np.searchsorted(ends_all, capw, side="right"))
         else:
             first_suspect = T
-
-        ws = np.searchsorted(nid, np.arange(T))
-        we = np.searchsorted(nid, np.arange(T) + 1)
+        ws = np.minimum(starts_all, nv)
+        we = np.minimum(ends_all, nv)
         native = None
-        if len(w_all) and first_suspect > 0:
+        if nv and first_suspect > 0:
             from focr_tpu.native import ncc_cpu
 
             if ncc_cpu.available():  # toolchain gate; real bugs must raise
                 native = ncc_cpu.replay_group(
-                    inv_u8, w_all, v_all,
+                    inv_u8, w_loc, v_all,
                     ws[:first_suspect], we[:first_suspect],
                     grp.bank, grp.s_n, grp.s2_n,
                     float(thr_f64), stride, WW, MAX_MATCHES,
@@ -910,10 +913,11 @@ class NccMatcher:
             wins_sq = np.lib.stride_tricks.sliding_window_view(
                 tables.sq(), (grp.nh, grp.nw)
             )
+            nid = np.searchsorted(ends_all, np.arange(nv), side="right")
             bits = ((v_all[:, None] >> bit.astype(np.uint32)[None, :]) & 1).astype(bool)
             wi, b = np.nonzero(bits)
             nid_c = nid[wi]
-            w_in = w_all[wi] % stride
+            w_in = w_loc[wi]
             ys = w_in // WW
             xs = (w_in % WW) * 32 + b
             if len(ys):

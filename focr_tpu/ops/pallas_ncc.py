@@ -37,7 +37,7 @@ _TTILE = 128  # needles per grid step: full MXU m-dim (measured 2x vs 64)
 
 
 def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
-            gmat_ref, bytes_ref, counts_ref, win_ref, *, nw, nh, W1, Hs, n):
+            gmat_ref, bytes_ref, win_ref, *, nw, nh, W1, Hs, n):
     """Kernel body; grid is (page, needle_tile, window_row) — one window row
     of one _TTILE-needle tile of one page per step (no in-kernel loop:
     Mosaic's fori_loop lowering is fragile, and the sequential-grid
@@ -59,9 +59,6 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
            (byte g packs x in [8g, 8g+8)); b/y lead so the store inserts
            LEADING dims, which is layout-trivial for Mosaic (a middle-dim
            insert on i8 is not)
-    counts [1, Tt, 1]   i32 out — candidate bits per needle; block index is
-           constant in y (innermost grid dim) => stays VMEM-resident and
-           accumulates across rows, written back once per (page, tile)
     win    [K, W1]      bf16 scratch — im2col rows
 
     The per-row pipeline is two MXU dots: the correlation
@@ -78,10 +75,6 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
     thr_eps = thr_ref[0, 0]
     # search domain excludes x=0 (ncc.rs:279, ncc.cpp:98)
     col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, W1), 1) >= 1
-
-    @pl.when(y == 0)
-    def _init():
-        counts_ref[:, :, :] = jnp.zeros_like(counts_ref)
 
     # im2col for ONE window row: win[k, x] = img[y+dy, x+dx], k = dy*nw+dx.
     # Built via per-slice STORES into VMEM scratch — stores relayout the
@@ -121,16 +114,13 @@ def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
         keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
     )  # [Tt, W1/8] — exact byte values 0..255
     bytes_ref[:, :, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)[None, None]
-    counts_ref[:, :, :] = counts_ref[:, :, :] + keepf.sum(
-        axis=1, keepdims=True
-    ).astype(jnp.int32)[None]
 
 
 _TROWS = 8  # window rows per tiled-kernel grid step (sublane-aligned)
 
 
 def _kernel_tiled(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref,
-                  n2n_ref, gmat_ref, bytes_ref, counts_ref, win_ref, *,
+                  n2n_ref, gmat_ref, bytes_ref, win_ref, *,
                   nw, nh, W1, Hs, n):
     """Row-tiled kernel body; grid is (page, needle_tile, row_tile) — one
     _TROWS-row band of one _TTILE-needle tile of one page per step. Unlike
@@ -147,8 +137,6 @@ def _kernel_tiled(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref,
                                      the page zeroed => y=0 excluded)
     s2p    [1, 1, TR, W1]       f32
     bytes  [1, TR, Tt, W1/8] u8 out block at (b, yt, tile, 0)
-    counts [1, Tt, 1]        i32 out — accumulates across row tiles (block
-                                  constant in yt, the innermost grid dim)
     win    [K, W1]           bf16 scratch — im2col rows (per band row)
 
     Per band row r (unrolled python loop, r static): the same two-MXU-dot
@@ -164,11 +152,6 @@ def _kernel_tiled(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref,
     thr_eps = thr_ref[0, 0]
     col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, W1), 1) >= 1
 
-    @pl.when(yt == 0)
-    def _init():
-        counts_ref[:, :, :] = jnp.zeros_like(counts_ref)
-
-    acc_counts = None
     for r in range(_TROWS):
         y = yt * _TROWS + r  # absolute window row (traced scalar)
         for dy in range(nh):
@@ -198,9 +181,6 @@ def _kernel_tiled(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref,
             keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
         )  # [Tt, W1/8]
         bytes_ref[0, r, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)
-        ksum = keepf.sum(axis=1, keepdims=True)
-        acc_counts = ksum if acc_counts is None else acc_counts + ksum
-    counts_ref[:, :, :] = counts_ref[:, :, :] + acc_counts.astype(jnp.int32)[None]
 
 
 def _pad_to_b(a: jax.Array, rows: int, cols: int) -> jax.Array:
@@ -289,7 +269,7 @@ def _candidates_impl(
         kernel = functools.partial(_kernel_tiled, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
         grid = (B, Tp // Tt, n_tiles)
         with jax.enable_x64(False):
-            mask_bytes, counts = _call_tiled(
+            mask_bytes = _call_tiled(
                 kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, img_t.shape[-1],
                 interpret, thr_arr, img_t, ndm, sp_t, s2p_t, sn_n, n2n, gmat,
             )
@@ -297,13 +277,11 @@ def _candidates_impl(
         kernel = functools.partial(_kernel, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
         grid = (B, Tp // Tt, Hs8)
         with jax.enable_x64(False):
-            mask_bytes, counts = _call(
+            mask_bytes = _call(
                 kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_i.shape, interpret,
                 thr_arr, img_i, ndm, sp_f, s2p_f, sn_n, n2n, gmat,
             )
-    counts = counts[:, :T, 0]
-    idx, vals, nz_words = _compact_rank(mask_bytes, B, T, Tp, Hs8, WW, capw)
-    return idx, vals, counts, nz_words
+    return _compact_rank(mask_bytes, B, T, Tp, Hs8, WW, capw)
 
 
 _SUB = 32  # rank-compaction L0 granularity: words per sub-block
@@ -357,15 +335,24 @@ def _compact_rank(
     word index to its byte row), so the bytes->words pack and the [B, T,
     Hs8, WB] transpose of the old scheme disappear entirely.
 
-    Returns (idx [B, capw] i32 (-1 padded), vals [B, capw] i32,
-    nz_words [B] i32). Exact for every population; overflow (nz_words >
-    capw) remains suffix-truncation, handled by the caller's capw redo.
+    Returns (idx [B, capw] u16|i32 LOCAL word index within its needle
+    (u16 whenever a needle's word span Hs8*WW fits; 0 padded — validity is
+    positional: entry j is real iff j < min(nz_words, capw)), vals [B, capw]
+    i32, wcnt [B, T] i32 exact nonzero-word count per needle (so the host
+    recovers each needle's span without a sentinel scan), nz_words [B] i32).
+    The local-u16 + counts form (6 bytes/word) exists because the compacted
+    buffer's device->host fetch is the dense-corpus pipeline's dominant
+    off-chip cost — 25% less wire than global i32 indices, and the needle
+    split comes along for free. Exact for every population; overflow
+    (nz_words > capw) remains suffix-truncation, handled by the caller's
+    capw redo.
     """
     # word-nonzero flags in t-major order: flag[b, t, y, w] = any of word's 4
     # bytes nonzero. One pass over the byte plane + a 4x-smaller transpose.
     mb = mask_bytes.reshape(B, Hs8, Tp, WW, 4)
     wf_y = mb.max(axis=4) != 0  # [B, Hs8, Tp, WW] bool
     wf = jnp.swapaxes(wf_y[:, :, :T], 1, 2)  # [B, T, Hs8, WW]
+    wcnt = wf.sum(axis=(2, 3), dtype=jnp.int32)  # [B, T] exact words/needle
     M = T * Hs8 * WW
     BLK = _SUB * _NB
     Mp = ((M + BLK - 1) // BLK) * BLK
@@ -424,9 +411,11 @@ def _compact_rank(
     vals = b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16) | (b4[..., 3] << 24)
 
     found = p[None] < jnp.minimum(nz_words, jnp.int32(K))[:, None]
-    idx = jnp.where(found, g, -1)
+    local = jnp.where(found, rem, 0)
+    if hsww <= 2**16:  # local index fits u16: half the idx wire bytes
+        local = local.astype(jnp.uint16)
     vals = jnp.where(found, vals, 0)
-    return idx, vals, nz_words
+    return local, vals, wcnt, nz_words
 
 
 @functools.partial(
@@ -447,33 +436,34 @@ def ncc_candidates_pallas(
 ):
     """Pallas-backed candidate search for one needle-size group, one page.
 
-    Returns (word_idx, word_val, counts, nz_words):
-      word_idx [capw] i32 — ascending GLOBAL linear indices of the first capw
-               nonzero 32-bit mask words across ALL needles; index g belongs
-               to needle t = g // (Hs8*WW), and its word w = g % (Hs8*WW)
+    Returns (word_idx, word_val, word_cnt, nz_words):
+      word_idx [capw] u16|i32 — LOCAL word index within its needle (word w
                covers window columns x in [(w % WW)*32, …+32) of row
                y = w // WW, where WW = W1/32 and W1 is the padded
-               window-column count (= word_stride(W, nw) * 32). -1 padded.
-               Ascending global order == (needle, scan-order) grouping, so
-               the caller splits per needle with one searchsorted.
+               window-column count = word_stride(W, nw) * 32). The first
+               min(nz_words, capw) entries are the first capw nonzero words
+               in global (needle, scan) order; entry ownership comes from
+               word_cnt (needle t owns entries [Σ_{<t} wcnt, …+wcnt[t]),
+               clipped to capw). u16 whenever a needle's word span Hs8*WW
+               fits 16 bits; 0 padded past the valid prefix.
       word_val [capw] i32 — the packed bits of each selected word
-      counts   [T] i32    — exact per-needle candidate count
-      nz_words [1] i32    — total nonzero words; needles whose word ranges
-               lie past the capw-th kept word were truncated (overflow iff
-               nz_words > capw) and need the caller's capw redo. The
-               compaction itself is exact first-capw (hierarchical rank, no
-               lossy level), so suffix truncation is the ONLY loss mode.
+      word_cnt [T] i32    — EXACT nonzero-word count per needle (cap-
+               independent, so overflow truncation is detectable per needle)
+      nz_words [1] i32    — total nonzero words (= word_cnt.sum()); overflow
+               iff nz_words > capw, handled by the caller's capw redo. The
+               compaction is exact first-capw (hierarchical rank, no lossy
+               level), so suffix truncation is the ONLY loss mode.
 
     One global buffer instead of a [T, capw] plane cuts the device->host
-    fetch ~T× (the per-needle padding is almost entirely empty), which is the
-    dominant per-page cost off-chip. The caller unpacks bits host-side (scan
-    order: ascending word, ascending bit) and replays the exact f64
-    similarity per candidate.
+    fetch ~T× (the per-needle padding is almost entirely empty), and the
+    local-u16 index form another 25% — that fetch is the dominant per-page
+    cost off-chip. The caller unpacks bits host-side (scan order: ascending
+    word, ascending bit) and replays the exact f64 similarity per candidate.
     """
-    widx, wval, counts, nzw = _candidates_impl(
+    widx, wval, wcnt, nzw = _candidates_impl(
         img[None], needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
     )
-    return widx[0], wval[0], counts[0], nzw
+    return widx[0], wval[0], wcnt[0], nzw
 
 
 @functools.partial(
@@ -498,7 +488,7 @@ def ncc_candidates_pallas_batch(
     costs one dispatch + one fetch instead of B of each — the off-chip
     round-trip tax was the dense-corpus pipeline's long pole.
 
-    Returns (word_idx [B, capw], word_val [B, capw], counts [B, T],
+    Returns (word_idx [B, capw], word_val [B, capw], word_cnt [B, T],
     nz_words [B]); per-page semantics identical to ncc_candidates_pallas.
     """
     return _candidates_impl(
@@ -510,10 +500,7 @@ def _call(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_shape, interpret, *args):
     return pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
-            jax.ShapeDtypeStruct((B, Tp, 1), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, img_shape[1], img_shape[2]),
@@ -531,12 +518,8 @@ def _call(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_shape, interpret, *args):
             pl.BlockSpec((W1, WB), lambda b, i, y: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, Tt, WB), lambda b, i, y: (b, y, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tt, 1), lambda b, i, y: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((1, 1, Tt, WB), lambda b, i, y: (b, y, i, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((n, W1), jnp.bfloat16)],
         interpret=interpret,
     )(*args)
@@ -550,10 +533,7 @@ def _call_tiled(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, Wp,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
-            jax.ShapeDtypeStruct((B, Tp, 1), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, band, Wp), lambda b, i, yt: (b, yt, 0, 0),
@@ -571,12 +551,8 @@ def _call_tiled(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, Wp,
             pl.BlockSpec((W1, WB), lambda b, i, yt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, _TROWS, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tt, 1), lambda b, i, yt: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((1, _TROWS, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((n, W1), jnp.bfloat16)],
         interpret=interpret,
     )(*args)

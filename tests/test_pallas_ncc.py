@@ -15,15 +15,17 @@ from focr_tpu.ops import ncc as ncc_ops
 from focr_tpu.ops import pallas_ncc
 
 
-def _unpack(widx, wval, WW, stride, t):
-    """Candidates of needle t from the GLOBAL compacted word buffer."""
+def _unpack(widx, wval, wcnt, nzw, WW, t):
+    """Candidates of needle t from the compacted (local idx, bits, counts)
+    word buffer: needle t owns entries [Σ_{<t} wcnt, …+wcnt[t]), clipped to
+    the valid prefix min(nzw, capw)."""
+    nv = min(int(nzw), len(widx))
+    ends = np.cumsum(wcnt.astype(np.int64))
+    s = int(min(ends[t] - wcnt[t], nv))
+    e = int(min(ends[t], nv))
     out = []
-    for wi, wv in zip(widx, wval):
-        if wi < 0:
-            break
-        if wi // stride != t:
-            continue
-        w = int(wi) % stride
+    for wi, wv in zip(widx[s:e], wval[s:e]):
+        w = int(wi)
         y = w // WW
         xb = (w % WW) * 32
         for b in range(32):
@@ -45,7 +47,7 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
     thr = jnp.asarray(np.float32(0.8))
     assert pallas_ncc.pallas_supported(H, W, nw, nh, 0.8)
 
-    widx, wval, counts, nzw = jax.device_get(
+    widx, wval, wcnt, nzw = jax.device_get(
         pallas_ncc.ncc_candidates_pallas(
             jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
             jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
@@ -58,11 +60,11 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
         )
     )
     WW = pallas_ncc.word_stride(W, nw)
-    stride = pallas_ncc.words_per_needle(H, W, nw, nh)
     W2 = W - nw
     assert nzw[0] <= len(widx), "cap overflow would invalidate the comparison"
+    assert nzw[0] == wcnt.sum()
     for t in range(T):
-        cand = _unpack(widx, wval, WW, stride, t)
+        cand = _unpack(widx, wval, wcnt, nzw[0], WW, t)
         xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
         # both are ε-supersets of the true accept set, exact-replayed on the
         # host; the Pallas kernel's f32 slack makes it the (slightly) wider
@@ -70,7 +72,7 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
         assert set(xla) <= set(cand), f"needle {t}: pallas dropped candidates"
         both = [c for c in cand if c in set(xla)]
         assert both == xla, f"needle {t}: scan order differs"
-        assert counts[t] >= cnt[t]
+        assert len(cand) >= cnt[t]
 
 
 def test_pallas_matcher_matches_oracle(mono_font_path):
@@ -185,7 +187,7 @@ def test_pallas_tiled_mask_matches_xla_candidates(monkeypatch):
     s_n = needles.reshape(T, -1).astype(np.int64).sum(1)
     s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
     thr = jnp.asarray(np.float32(0.8))
-    widx, wval, counts, nzw = jax.device_get(
+    widx, wval, wcnt, nzw = jax.device_get(
         pallas_ncc.ncc_candidates_pallas(
             jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
             jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
@@ -198,18 +200,18 @@ def test_pallas_tiled_mask_matches_xla_candidates(monkeypatch):
         )
     )
     WW = pallas_ncc.word_stride(W, nw)
-    stride = pallas_ncc.words_per_needle(H, W, nw, nh)
     W2 = W - nw
     assert nzw[0] <= len(widx)
+    assert nzw[0] == wcnt.sum()
     found_any = 0
     for t in range(T):
-        cand = _unpack(widx, wval, WW, stride, t)
+        cand = _unpack(widx, wval, wcnt, nzw[0], WW, t)
         xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
         found_any += len(xla)
         assert set(xla) <= set(cand), f"needle {t}: tiled kernel dropped candidates"
         both = [c for c in cand if c in set(xla)]
         assert both == xla, f"needle {t}: scan order differs"
-        assert counts[t] >= cnt[t]
+        assert len(cand) >= cnt[t]
     assert found_any > 0
 
 
@@ -301,7 +303,7 @@ def test_pallas_global_cap_overflow_falls_back(mono_font_path, monkeypatch):
 
 def test_pallas_capw_bump_redo(mono_font_path, monkeypatch):
     """A word-cap overflow below the ceiling re-dispatches once at a
-    4096-aligned cap sized to 1.25x the measured word count and remembers the
+    1024-aligned cap sized to 1.25x the measured word count and remembers the
     bump — results identical to the oracle, and the matcher's next dispatch
     uses the larger cap directly (no further growth on the same page)."""
     import focr_tpu.models.ncc as ncc_mod
@@ -320,10 +322,10 @@ def test_pallas_capw_bump_redo(mono_font_path, monkeypatch):
     ho = m.get_hits_oracle(page)
     key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
     assert key(hp) == key(ho)
-    # bump remembered: grown to a 4096-aligned cap covering the measured need
+    # bump remembered: grown to a 1024-aligned cap covering the measured need
     grown = dict(m._capw)
     assert grown and all(
-        2 < c <= ncc_mod._CAPW_MAX and c % 4096 == 0 for c in grown.values()
+        2 < c <= ncc_mod._CAPW_MAX and c % 1024 == 0 for c in grown.values()
     )
     assert key(m.get_hits(page)) == key(ho)  # second pass: bigger cap directly
     assert m._capw == grown  # sized to need: the same page never re-grows
