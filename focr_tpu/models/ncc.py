@@ -152,20 +152,15 @@ def _host_searcher(page: np.ndarray):
 
 
 class _ReplayTables:
-    """Lazy per-page exact-integer material for the Pallas-path f64 replay.
-
-    Every field is built at most once per page and shared across size
-    groups: the native replay wants the i64 integral tables (one fused C
-    pass; per-candidate sp/s2p become O(1) lookups — the reference's own
-    design, ncc.rs:937), the NumPy fallback wants the i32 pixel/square
-    planes for strided window sums. Laziness matters: on the native fast
-    path the NumPy planes are never materialized at all."""
+    """Lazy per-page exact-integer material for the NumPy-fallback f64
+    replay (the native C replay computes window stats inline from the u8
+    page and needs none of this). Each plane is built at most once per page
+    and shared across size groups."""
 
     def __init__(self, inv: np.ndarray):
         self.inv_u8 = np.ascontiguousarray(inv)
         self._i32 = None
         self._sq = None
-        self._native = None
 
     def i32(self) -> np.ndarray:
         if self._i32 is None:
@@ -178,13 +173,6 @@ class _ReplayTables:
             i = self.i32()
             self._sq = i * i
         return self._sq
-
-    def native(self):
-        if self._native is None:
-            from focr_tpu.native import ncc_cpu
-
-            self._native = ncc_cpu.build_tables(self.inv_u8)
-        return self._native
 
 
 @dataclass(frozen=True)
@@ -280,6 +268,38 @@ class NccMatcher:
         # pin a page's whole sweep to one chip.
         self._dev_groups: dict[object, list[tuple]] = {}
         self._sharded_fns: dict[tuple, object] = {}  # (mesh id, group idx) -> fn
+        self._fused_fns: dict[tuple, object] = {}  # fused wave-sweep jits
+
+    def _fused_sweep(self, inv_j, specs: tuple, device) -> tuple:
+        """ONE jitted executable sweeping every Pallas-able size group of a
+        wave: the remote transport is latency-bound (an RPC round trip costs
+        10-500ms window-dependent, while bandwidth sits at GB/s), so one
+        execute call for all groups beats one per group. ``specs`` is a
+        tuple of (group index, capw); returns the per-group outs tuple."""
+        key = (inv_j.shape, specs, device)
+        fn = self._fused_fns.get(key)
+        if fn is None:
+            groups = self.groups
+            devg = self._device_groups(device)
+            interpret = jax.default_backend() != "tpu"
+
+            def f(inv):
+                outs = []
+                for gi, capw in specs:
+                    grp = groups[gi]
+                    bank_j, s_n_j, s2_n_j, thr_j = devg[gi]
+                    outs.append(
+                        pallas_ncc.ncc_candidates_pallas_batch(
+                            inv, bank_j, s_n_j, s2_n_j, thr_j,
+                            nw=grp.nw, nh=grp.nh, capw=capw,
+                            interpret=interpret,
+                        )
+                    )
+                return tuple(outs)
+
+            fn = jax.jit(f)
+            self._fused_fns[key] = fn
+        return fn(inv_j)
 
     def _device_groups(self, device=None) -> list[tuple]:
         groups = self._dev_groups.get(device)
@@ -507,20 +527,21 @@ class NccMatcher:
 
     def _dispatch_wave(self, batch: list[np.ndarray], device=None, measure=None):
         """Phase 1 for a WHOLE wave of pages: one stacked u8 upload per page
-        shape and ONE batched Pallas dispatch per (shape bucket × size
-        group), so a wave of B pages costs a handful of device calls instead
+        shape and ONE fused device execute for every Pallas-able size group
+        (_fused_sweep), so a wave of B pages costs ~2 device calls instead
         of B × groups — the per-call round trip is the dominant off-chip
         cost (the reference amortizes differently: rayon threads,
-        ncc.rs:839-847). The page axis is padded to the next power of two
-        with inverted-white zero pages (Σp == 0 ⇒ zero candidates) so the
-        number of compiled batch sizes stays logarithmic in the wave size.
+        ncc.rs:839-847). The page axis is padded to the next multiple of 8
+        with inverted-white zero pages (Σp == 0 ⇒ zero candidates), bounding
+        both the compiled-batch-size count and the padded upload waste.
 
         ``device`` pins the wave's sweeps to one chip (the mesh scatter
         path); None uses the default device. ``measure``: optional dict —
         when given, each group's dispatch is serialized with
         block_until_ready and measure[(nh, nw)] accumulates its true
-        wall-clock seconds (the --verbose-sync mode; kills pipelining by
-        design). Returns an opaque wave object for _fetch_wave(s)."""
+        wall-clock seconds (the --verbose-sync mode; kills pipelining and
+        dispatch fusion by design). Returns an opaque wave object for
+        _fetch_wave(s)."""
         t0 = time.perf_counter()
         by_shape: dict[tuple[int, int], list[int]] = {}
         for i, p in enumerate(batch):
@@ -528,7 +549,7 @@ class NccMatcher:
         buckets = []
         for (H, W), idxs in by_shape.items():
             B = len(idxs)
-            Bp = 1 << (B - 1).bit_length()  # next power of two >= B
+            Bp = -(-B // 8) * 8  # next multiple of 8 >= B
             # one-pass u8 invert straight into the padded upload buffer
             # (255 - x never underflows for u8 x; an i32 detour would cost
             # two extra 4x-sized passes over the wave — measured at up to
@@ -548,18 +569,25 @@ class NccMatcher:
             if measure is not None:
                 # exclude the upload from the first group's measured span
                 jax.block_until_ready(inv_j)
-            plans: list[tuple[_Group, str, object]] = []
-            for grp, dev in zip(self.groups, self._device_groups(device)):
+            plans: list[tuple[_Group, str, object] | None] = [None] * len(self.groups)
+            fspecs: list[tuple[int, int]] = []  # (group idx, capw) to fuse
+            for gi, (grp, dev) in enumerate(
+                zip(self.groups, self._device_groups(device))
+            ):
                 if grp.nh >= H or grp.nw >= W:
-                    plans.append((grp, "empty", None))
+                    plans[gi] = (grp, "empty", None)
                     continue
                 tg = time.perf_counter()
                 if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
                     H, W, grp.nw, grp.nh, self.threshold
                 ):
                     capw = self._capw.get((grp.nh, grp.nw), _CAPW_START)
+                    if measure is None:
+                        fspecs.append((gi, capw))
+                        continue
+                    # sync mode: per-group dispatch so the span is per-group
                     outs = ncc_ops_pallas_call_batch(inv_j, grp, dev, capw=capw)
-                    plans.append((grp, "pallas", outs))
+                    plans[gi] = (grp, "pallas", outs)
                 else:
                     bank_j, s_n_j, s2_n_j, thr_j = dev
                     # XLA fallback stays per page (device-side slices of the
@@ -577,11 +605,15 @@ class NccMatcher:
                         )
                         for k in range(B)
                     ]
-                    plans.append((grp, "xla", outs))
+                    plans[gi] = (grp, "xla", outs)
                 if measure is not None:
                     jax.block_until_ready(outs)
                     key = (grp.nh, grp.nw)
                     measure[key] = measure.get(key, 0.0) + time.perf_counter() - tg
+            if fspecs:
+                fused = self._fused_sweep(inv_j, tuple(fspecs), device)
+                for (gi, _), outs in zip(fspecs, fused):
+                    plans[gi] = (self.groups[gi], "pallas", outs)
             buckets.append((idxs, inv_all, plans))
         return batch, buckets, t0, device
 
@@ -901,7 +933,6 @@ class NccMatcher:
                     ws[:first_suspect], we[:first_suspect],
                     grp.bank, grp.s_n, grp.s2_n,
                     float(thr_f64), stride, WW, MAX_MATCHES,
-                    tables=tables.native(),
                 )
 
         if native is None:
@@ -959,9 +990,11 @@ class NccMatcher:
                     print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
                 off = 32 * int(ws[ti])
                 k = int(n_counts[ti])
+                # i32 views, not i64 copies: _make_struct widens ONCE after
+                # concatenation; ~600 per-needle astype calls/page were real
                 per_needle[i] = (
-                    out_x[off : off + k].astype(np.int64),
-                    out_y[off : off + k].astype(np.int64),
+                    out_x[off : off + k],
+                    out_y[off : off + k],
                     out_sim[off : off + k],
                 )
                 continue

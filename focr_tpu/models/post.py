@@ -103,41 +103,19 @@ def process_hits(
     return lines
 
 
-def _winner_arrays(hs, anchor_threshold: float, overlap: int):
-    """Shared vectorized core of process_hits on HitStruct arrays: anchor
-    filter, stable y/x sorts, run-anchored overlap partition, last-max dedup.
+def _run_winners(lkey: np.ndarray, lsim: np.ndarray, ov: int, N: int) -> np.ndarray:
+    """Winner index per overlap run over the composite-key-sorted hits:
+    partition_by's run-anchored split + last-max-wins selection
+    (ncc.rs:753-766, 1036-1052). Native C single pass when the toolchain is
+    available; the vectorized NumPy formulation otherwise (identical output,
+    pinned by tests/test_ncc_post.py)."""
+    try:
+        from focr_tpu.native import ncc_cpu
 
-    Returns None when no hits survive, else winner arrays
-    ``(wnid, wx, wy, wsim, line_bounds)`` in final output order, where
-    ``line_bounds`` are the split points between text lines."""
-    anchor_f32 = np.float32(anchor_threshold)
-    y = hs.y
-    if len(y) == 0:
-        return None
-    anchor_ys = np.unique(y[hs.sim >= anchor_f32])
-    keep = np.isin(y, anchor_ys)
-    if not keep.any():
-        return None
-    y = y[keep]
-    x = hs.x[keep]
-    sim = hs.sim[keep]
-    nid = hs.needle_id[keep]
-
-    order = np.argsort(y, kind="stable")
-    y, x, sim, nid = y[order], x[order], sim[order], nid[order]
-    bounds = np.flatnonzero(np.diff(y)) + 1
-    starts = np.concatenate([[0], bounds, [len(y)]]).astype(np.int64)
-    N = len(y)
-    line_of = np.searchsorted(starts, np.arange(N), side="right") - 1
-
-    # stable per-line x-sort without a per-line loop: a composite key offsets
-    # each line's x range past the previous line's (gap > overlap keeps run
-    # jumps from ever crossing a line boundary below)
-    span = int(x.max()) + abs(int(overlap)) + 2 if N else 1
-    xkey = line_of * span + x
-    xo = np.argsort(xkey, kind="stable")
-    lx, lxkey, lsim, lnid, lyy = x[xo], xkey[xo], sim[xo], nid[xo], y[xo]
-
+        if ncc_cpu.available():
+            return ncc_cpu.post_winners(lkey, lsim, ov)
+    except Exception:  # noqa: BLE001 - toolchain missing: degrade gracefully
+        pass
     # run partition anchored at each run's FIRST element (partition_by
     # semantics): jump pointers nxt[i] = end of a run starting at i, in one
     # vectorized searchsorted over the composite key. A run always contains
@@ -145,7 +123,7 @@ def _winner_arrays(hs, anchor_threshold: float, overlap: int):
     # overlap (every hit its own run), where a raw searchsorted would return
     # nxt <= i and loop forever.
     nxt = np.maximum(
-        np.searchsorted(lxkey, lxkey + overlap, side="right"),
+        np.searchsorted(lkey, lkey + ov, side="right"),
         np.arange(1, N + 1),
     )
     run_starts = []
@@ -158,15 +136,64 @@ def _winner_arrays(hs, anchor_threshold: float, overlap: int):
     # last max per run: max value via reduceat, then the LAST index
     # attaining it (Rust max_by keeps the last maximal element)
     run_max = np.maximum.reduceat(lsim, rs) if len(rs) else np.zeros(0, np.float32)
-    run_of = np.searchsorted(rs, np.arange(N), side="right") - 1
+    run_of = np.repeat(np.arange(len(rs)), np.diff(np.append(rs, N)))
     at_max = lsim == run_max[run_of]
-    widx = (
+    return (
         np.maximum.reduceat(np.where(at_max, np.arange(N), -1), rs)
         if len(rs)
         else np.zeros(0, np.int64)
     )
 
-    win_line = line_of[xo][widx] if len(widx) else np.zeros(0, np.int64)
+
+def _winner_arrays(hs, anchor_threshold: float, overlap: int):
+    """Shared vectorized core of process_hits on HitStruct arrays: anchor
+    filter, stable y/x sorts, run-anchored overlap partition, last-max dedup.
+
+    Returns None when no hits survive, else winner arrays
+    ``(wnid, wx, wy, wsim, line_bounds)`` in final output order, where
+    ``line_bounds`` are the split points between text lines."""
+    anchor_f32 = np.float32(anchor_threshold)
+    y = hs.y
+    if len(y) == 0:
+        return None
+    # anchor filter via a dense y lookup table: O(N) instead of the
+    # unique+isin sort pair (reference coords are u16, ncc.rs:66-72, so the
+    # table is at most 64KB of bools)
+    tab = np.zeros(int(y.max()) + 1, dtype=bool)
+    tab[y[hs.sim >= anchor_f32]] = True
+    keep = tab[y]
+    if not keep.any():
+        return None
+    y = y[keep]
+    x = hs.x[keep]
+    sim = hs.sim[keep]
+    nid = hs.needle_id[keep]
+    N = len(y)
+
+    # ONE stable radix sort on the composite (y, x) key — lexicographic plus
+    # stability is exactly "stable sort by y, then stable per-line sort by x"
+    # (the reference's two sort_by_key passes, ncc.rs:741, 753). The x field
+    # is wide enough that x + overlap can never carry into the y field, so
+    # the same key drives the overlap-run partition below without runs ever
+    # crossing a line boundary.
+    xmax = int(x.max())
+    # any overlap beyond the page's x span behaves identically (every |Δx|
+    # is <= xmax), so clamp before sizing the key field — an absurd CLI
+    # --overlap must not overflow the i64 key
+    ov = min(int(overlap), xmax + 1)
+    xbits = max(17, (xmax + max(ov, 0) + 2).bit_length())
+    key = (y.astype(np.int64) << xbits) + x.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    lkey, lx, lsim, lnid, lyy = (
+        key[order], x[order], sim[order], nid[order], y[order]
+    )
+
+    bounds = np.flatnonzero(np.diff(lyy)) + 1
+    starts = np.concatenate([[0], bounds, [N]]).astype(np.int64)
+    line_of = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+
+    widx = _run_winners(lkey, lsim, ov, N)
+    win_line = line_of[widx] if len(widx) else np.zeros(0, np.int64)
     line_bounds = np.flatnonzero(np.diff(win_line)) + 1
     return lnid[widx], lx[widx], lyy[widx], lsim[widx], line_bounds
 

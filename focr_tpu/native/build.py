@@ -92,7 +92,6 @@ def load() -> ctypes.CDLL:
             lib.focr_ncc_replay_u8.restype = None
             lib.focr_ncc_replay_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ref, w, h
-                ctypes.c_void_p, ctypes.c_void_p,  # sum_tab, sq_tab
                 ctypes.c_void_p, ctypes.c_void_p,  # widx, wval
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # starts, ends, T
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # bank, nw, nh
@@ -101,6 +100,12 @@ def load() -> ctypes.CDLL:
                 ctypes.c_int64,  # max_matches
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out x/y/sim
                 ctypes.c_void_p, ctypes.c_void_p,  # counts, warn
+            ]
+            lib.focr_post_winners.restype = ctypes.c_int64
+            lib.focr_post_winners.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,  # key, sim
+                ctypes.c_int64, ctypes.c_int64,  # n, overlap
+                ctypes.c_void_p,  # win_out
             ]
             _LIB = lib
             return lib

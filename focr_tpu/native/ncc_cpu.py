@@ -122,7 +122,7 @@ def build_tables(inv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def replay_group(
     inv: np.ndarray,  # [H, W] u8 inverted page
-    widx: np.ndarray,  # [Nw] i32 ascending global word indices (kept only)
+    widx: np.ndarray,  # [Nw] i32 needle-local word indices (kept only)
     wval: np.ndarray,  # [Nw] u32 packed bits
     starts: np.ndarray,  # [T] i64 word-range start per needle
     ends: np.ndarray,  # [T] i64 word-range end per needle
@@ -133,22 +133,20 @@ def replay_group(
     stride: int,
     words_per_row: int,
     max_matches: int,
-    tables: tuple[np.ndarray, np.ndarray] | None = None,
 ):
     """Native exact-f64 replay of the device candidate bitmask.
 
     Returns (out_x, out_y, out_sim, counts, warn): per-needle hits live at
     out[32*starts[t] : 32*starts[t] + counts[t]], scan order, capped at
-    max_matches with the reference's WARN semantics. ``tables``: the page's
-    build_tables result (built here if absent; pass it to amortize across
-    size groups).
+    max_matches with the reference's WARN semantics. Window stats are
+    recomputed per candidate from the page bytes (exact; no integral
+    tables needed — see win_stats in ncc_kernel.cpp).
     """
     lib = load()
     _, n_h, n_w = bank.shape
     T = len(starts)  # needles to replay (callers may slice off suspects)
     assert len(ends) == T and len(bank) >= T
     inv = np.ascontiguousarray(inv)
-    sum_tab, sq_tab = tables if tables is not None else build_tables(inv)
     widx = np.ascontiguousarray(widx, dtype=np.int32)
     wval = np.ascontiguousarray(wval, dtype=np.uint32)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
@@ -164,8 +162,6 @@ def replay_group(
     warn = np.zeros(T, dtype=np.uint8)
     lib.focr_ncc_replay_u8(
         inv.ctypes.data_as(ctypes.c_void_p), inv.shape[1], inv.shape[0],
-        sum_tab.ctypes.data_as(ctypes.c_void_p),
-        sq_tab.ctypes.data_as(ctypes.c_void_p),
         widx.ctypes.data_as(ctypes.c_void_p),
         wval.ctypes.data_as(ctypes.c_void_p),
         starts.ctypes.data_as(ctypes.c_void_p),
@@ -183,4 +179,27 @@ def replay_group(
     return out_x, out_y, out_sim, counts, warn
 
 
-__all__ = ["NativeSearcher", "available", "build_tables", "replay_group"]
+def post_winners(key: np.ndarray, sim: np.ndarray, overlap: int) -> np.ndarray:
+    """Native overlap-run winner scan (models/post.py): ``key`` is the
+    composite (y << xbits) + x sort key (i64, ascending), ``sim`` the f32
+    similarities in the same order. Returns the winner INDEX per run, in run
+    order — partition_by + last-max semantics (ncc.rs:753-766, 1036-1052) in
+    one linear C pass."""
+    lib = load()
+    key = np.ascontiguousarray(key, dtype=np.int64)
+    sim = np.ascontiguousarray(sim, dtype=np.float32)
+    n = len(key)
+    out = np.empty(n, dtype=np.int64)
+    nr = lib.focr_post_winners(
+        key.ctypes.data_as(ctypes.c_void_p),
+        sim.ctypes.data_as(ctypes.c_void_p),
+        n, int(overlap),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:nr]
+
+
+__all__ = [
+    "NativeSearcher", "available", "build_tables", "post_winners",
+    "replay_group",
+]

@@ -165,22 +165,86 @@ void focr_ncc_tables_u8(
     }
 }
 
+// Per-window exact integer stats for the replay: correlation acc, window
+// sum and sum-of-squares, all from the same n_h rows of page bytes — one
+// pass over ~n cache-resident bytes per candidate instead of scattered
+// integral-table loads (the tables are MBs; the candidate walk made their
+// lookups the replay's cache-miss bill). Templated on the needle width so
+// the inner loops unroll/vectorize with a constant trip count; NW == 0 is
+// the generic fallback. Exactness: the search domain is x,y >= 1, where
+// direct window sums equal the reference's `_nz` integral lookups
+// bit-for-bit (the sumsqr border asymmetry cancels — oracle/ncc_oracle.py
+// closed form, proved in tests/test_oracle.py).
+}  // extern "C" — C++ templates below, C-linkage entry points resume after
+
+namespace {
+template <int NW>
+inline void win_stats(const uint8_t* ref, int64_t r_w, const uint8_t* needle,
+                      int64_t n_h, int64_t n_w, int64_t y, int64_t x,
+                      int64_t* acc_o, int64_t* sp_o, int64_t* s2p_o) {
+    int64_t acc = 0, sp = 0, s2p = 0;
+    const int w = NW > 0 ? NW : static_cast<int>(n_w);
+    for (int64_t dy = 0; dy < n_h; ++dy) {
+        const uint8_t* r = ref + (y + dy) * r_w + x;
+        const uint8_t* nr = needle + dy * n_w;
+        // i32 per-row partials (<= n_w * 255^2 < 2^20) summed in i64
+        int32_t a = 0, s = 0, q = 0;
+        for (int dx = 0; dx < w; ++dx) {
+            const int32_t v = r[dx];
+            a += static_cast<int32_t>(nr[dx]) * v;
+            s += v;
+            q += v * v;
+        }
+        acc += a;
+        sp += s;
+        s2p += q;
+    }
+    *acc_o = acc;
+    *sp_o = sp;
+    *s2p_o = s2p;
+}
+
+using StatFn = void (*)(const uint8_t*, int64_t, const uint8_t*, int64_t,
+                        int64_t, int64_t, int64_t, int64_t*, int64_t*,
+                        int64_t*);
+
+StatFn pick_stats(int64_t n_w) {
+    switch (n_w) {
+        case 4: return win_stats<4>;
+        case 5: return win_stats<5>;
+        case 6: return win_stats<6>;
+        case 7: return win_stats<7>;
+        case 8: return win_stats<8>;
+        case 9: return win_stats<9>;
+        case 10: return win_stats<10>;
+        case 11: return win_stats<11>;
+        case 12: return win_stats<12>;
+        case 13: return win_stats<13>;
+        case 14: return win_stats<14>;
+        case 15: return win_stats<15>;
+        case 16: return win_stats<16>;
+        default: return win_stats<0>;
+    }
+}
+}  // namespace
+
+extern "C" {
+
 // Exact f64 replay of the device candidate bitmask (the host half of the
 // Pallas path, models/ncc.py::_pallas_group): for every set bit of every
-// compacted mask word, recompute the window's integer acc from the page
-// (the only needle-dependent term), read sp/s2p from the per-page integral
-// tables (focr_ncc_tables_u8 — exact i64, so values are identical to direct
-// window sums), and apply the reference's f64 similarity formula
-// (ncc.cpp:206-215, same association/order), emitting per-needle hits in
-// scan order with the MAX_MATCHES truncation (ncc.cpp:222-229).
+// compacted mask word, recompute the window's integer acc/sum/sumsq
+// directly from the page bytes (win_stats above — exact, and identical to
+// the reference's `_nz` integral lookups on the search domain), and apply
+// the reference's f64 similarity formula (ncc.cpp:206-215, same
+// association/order), emitting per-needle hits in scan order with the
+// MAX_MATCHES truncation (ncc.cpp:222-229).
 //
-// Words must be the ascending global-linear compaction the device returns
+// Words must be the ascending NEEDLE-LOCAL compaction the device returns
 // (grouped by needle); `starts`/`ends` give each needle's word range.
 // Outputs are written at fixed per-needle offsets 32*starts[t] (capacity:
 // one hit per bit), so needles parallelize independently (OpenMP).
 void focr_ncc_replay_u8(
     const uint8_t* ref, int64_t r_w, int64_t r_h,
-    const int64_t* sum_tab, const int64_t* sq_tab,
     const int32_t* widx, const uint32_t* wval,
     const int64_t* starts, const int64_t* ends, int64_t n_needles,
     const uint8_t* bank, int64_t n_w, int64_t n_h,
@@ -192,7 +256,7 @@ void focr_ncc_replay_u8(
     const int64_t n = n_w * n_h;
     const double n_recip = 1.0 / static_cast<double>(n);
     const double nd = static_cast<double>(n);
-    const int64_t TW = r_w + 1;  // integral-table row stride
+    const StatFn stats = pick_stats(n_w);
 #pragma omp parallel for schedule(dynamic)
     for (int64_t t = 0; t < n_needles; ++t) {
         const uint8_t* needle = bank + t * n_h * n_w;
@@ -212,25 +276,8 @@ void focr_ncc_replay_u8(
                 const int b = __builtin_ctz(bits);
                 bits &= bits - 1;
                 const int64_t x = xbase + b;
-                // correlation: i32 per-row partials (<= n_w * 255^2 < 2^20,
-                // vectorizes to the u8->i16->i32 madd pattern) summed in i64
-                int64_t acc = 0;
-                for (int64_t dy = 0; dy < n_h; ++dy) {
-                    const uint8_t* r = ref + (y + dy) * r_w + x;
-                    const uint8_t* nr = needle + dy * n_w;
-                    int32_t a = 0;
-                    for (int64_t dx = 0; dx < n_w; ++dx) {
-                        a += static_cast<int32_t>(r[dx]) *
-                             static_cast<int32_t>(nr[dx]);
-                    }
-                    acc += a;
-                }
-                const int64_t* s0 = sum_tab + y * TW + x;
-                const int64_t* s1 = sum_tab + (y + n_h) * TW + x;
-                const int64_t* q0 = sq_tab + y * TW + x;
-                const int64_t* q1 = sq_tab + (y + n_h) * TW + x;
-                const int64_t sp = s1[n_w] - s1[0] - s0[n_w] + s0[0];
-                const int64_t s2p = q1[n_w] - q1[0] - q0[n_w] + q0[0];
+                int64_t acc, sp, s2p;
+                stats(ref, r_w, needle, n_h, n_w, y, x, &acc, &sp, &s2p);
                 const double spd = static_cast<double>(sp);
                 const double num =
                     static_cast<double>(acc) - (s_n * spd) * n_recip;
@@ -253,6 +300,39 @@ void focr_ncc_replay_u8(
         out_counts[t] = static_cast<int32_t>(emitted);
         out_warn[t] = kept >= max_matches ? 1 : 0;
     }
+}
+
+// Overlap-run winner scan for post-processing (models/post.py): given hits
+// sorted by the composite (y << xbits) + x key (lexicographic y-then-x —
+// the reference's two stable sort_by_key passes, ncc.rs:741, 753), emit the
+// index of each run's winner. Run semantics replicate partition_by
+// (ncc.rs:1036-1052): a run is anchored at its FIRST element and members
+// satisfy key - anchor <= overlap (the key field widths guarantee runs
+// never span text lines); the winner is the LAST maximal similarity (Rust
+// max_by, ncc.rs:763). One linear pass — the NumPy formulation needed a
+// searchsorted, a Python jump loop, and two reduceat passes. Returns the
+// number of runs (= winners written).
+int64_t focr_post_winners(
+    const int64_t* key, const float* sim, int64_t n, int64_t overlap,
+    int64_t* win_out) {
+    int64_t nr = 0;
+    int64_t i = 0;
+    while (i < n) {
+        const int64_t anchor = key[i];
+        float best = sim[i];
+        int64_t bi = i;
+        int64_t j = i + 1;
+        while (j < n && key[j] - anchor <= overlap) {
+            if (sim[j] >= best) {  // last max wins ties
+                best = sim[j];
+                bi = j;
+            }
+            ++j;
+        }
+        win_out[nr++] = bi;
+        i = j;
+    }
+    return nr;
 }
 
 }  // extern "C"
