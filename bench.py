@@ -52,7 +52,9 @@ def bench_focr(face, reps: int) -> tuple[float, dict]:
     from focr_tpu.io.synth import synthesize_page, random_text_lines
 
     n_pages = int(os.environ.get("BENCH_PAGES", "64"))
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # one wave covering the corpus: the tunnel transport is latency-bound
+    # (10-500ms per RPC), so per-rep round trips dominate over pipelining
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
 
     ropts = RenderOptions(size=13.0)
     dopts = DecodeOptions(x_start=45, y_start=39, line_height=12, line_advance=15, width=608)

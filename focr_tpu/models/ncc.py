@@ -132,11 +132,10 @@ class HitStruct:
         return out
 
 
-def _wave_size() -> int:
-    """Pages per batched dispatch wave. 32 keeps the stacked u8 upload under
-    the transport's ~32MB single-transfer knee for letter-size pages while
-    amortizing the per-wave dispatch+fetch round trips ~32x."""
-    return int(os.environ.get("FOCR_NCC_WAVE", "32"))
+def _wave_size() -> int | None:
+    """Explicit FOCR_NCC_WAVE override, else None (callers auto-size)."""
+    env = os.environ.get("FOCR_NCC_WAVE")
+    return int(env) if env else None
 
 
 def _host_searcher(page: np.ndarray):
@@ -270,6 +269,30 @@ class NccMatcher:
         self._sharded_fns: dict[tuple, object] = {}  # (mesh id, group idx) -> fn
         self._fused_fns: dict[tuple, object] = {}  # fused wave-sweep jits
 
+    def _wave_for(self, pages: list[np.ndarray]) -> int:
+        """Pages per batched dispatch wave: as LARGE as device memory allows
+        (cap 64) — the remote transport is latency-bound, so fewer
+        dispatch/fetch round trips beat finer pipelining — bounded so the
+        largest per-group mask plane stays under ~4GB of HBM (tall pages
+        wave smaller). FOCR_NCC_WAVE overrides."""
+        env = _wave_size()
+        if env is not None:
+            return env
+        if not pages:
+            return 32
+        H, W = pages[0].shape
+        per = 0
+        for g in self.groups:
+            if g.nh >= H or g.nw >= W:
+                continue
+            Hs8 = ((H - g.nh + 1 + 7) // 8) * 8
+            Tp = -(-len(g.needle_ids) // pallas_ncc._TTILE) * pallas_ncc._TTILE
+            WB = pallas_ncc.word_stride(W, g.nw) * 8
+            per = max(per, Hs8 * Tp * WB)
+        if per == 0:
+            return 32
+        return max(8, min(64, ((4 << 30) // per) // 8 * 8))
+
     def _fused_sweep(self, inv_j, specs: tuple, device) -> tuple:
         """ONE jitted executable sweeping every Pallas-able size group of a
         wave: the remote transport is latency-bound (an RPC round trip costs
@@ -354,7 +377,7 @@ class NccMatcher:
         overlaps post-processing with the next wave's transfer."""
         import concurrent.futures as cf
 
-        wave = _wave_size()
+        wave = self._wave_for(pages)
         out: list = []
         # a worker thread blocks on each wave's device_get so the transfer of
         # wave k overlaps the host replay of wave k-1; the replay itself runs
@@ -427,7 +450,7 @@ class NccMatcher:
 
             devices = list(mesh.devices.flat)
             D = len(devices)
-            wave = _wave_size() * D
+            wave = self._wave_for(pages) * D
             out: list = []
             pending = None
 
