@@ -204,26 +204,87 @@ inline void win_stats(const uint8_t* ref, int64_t r_w, const uint8_t* needle,
     *s2p_o = s2p;
 }
 
-using StatFn = void (*)(const uint8_t*, int64_t, const uint8_t*, int64_t,
-                        int64_t, int64_t, int64_t, int64_t*, int64_t*,
-                        int64_t*);
-
-StatFn pick_stats(int64_t n_w) {
-    switch (n_w) {
-        case 4: return win_stats<4>;
-        case 5: return win_stats<5>;
-        case 6: return win_stats<6>;
-        case 7: return win_stats<7>;
-        case 8: return win_stats<8>;
-        case 9: return win_stats<9>;
-        case 10: return win_stats<10>;
-        case 11: return win_stats<11>;
-        case 12: return win_stats<12>;
-        case 13: return win_stats<13>;
-        case 14: return win_stats<14>;
-        case 15: return win_stats<15>;
-        case 16: return win_stats<16>;
-        default: return win_stats<0>;
+// Whole replay loop templated on the needle width so win_stats inlines
+// fully into the candidate walk (an indirect call per candidate defeats
+// both inlining and the constant-trip unroll, measured ~2x slower).
+template <int NW>
+void replay_impl(
+    const uint8_t* ref, int64_t r_w, int64_t r_h,
+    const int32_t* widx, const uint32_t* wval,
+    const int64_t* starts, const int64_t* ends, int64_t n_needles,
+    const uint8_t* bank, int64_t n_w, int64_t n_h,
+    const int64_t* s_n_arr, const int64_t* s2_n_arr,
+    double threshold, int64_t stride, int64_t words_per_row,
+    int64_t max_matches,
+    int32_t* out_x, int32_t* out_y, float* out_sim,
+    int32_t* out_counts, uint8_t* out_warn) {
+    const double n_recip = 1.0 / static_cast<double>(n_w * n_h);
+    const double nd = static_cast<double>(n_w * n_h);
+    constexpr int CH = 2048;  // candidates per two-phase chunk
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t t = 0; t < n_needles; ++t) {
+        const uint8_t* needle = bank + t * n_h * n_w;
+        const double s_n = static_cast<double>(s_n_arr[t]);
+        const double norm2_n =
+            static_cast<double>(s2_n_arr[t]) - s_n * s_n / nd;
+        const double rnorm_n = 1.0 / std::sqrt(norm2_n);
+        int64_t off = 32 * starts[t];
+        int64_t emitted = 0;
+        int64_t kept = 0;
+        // two-phase chunking: gather integer stats for a block of
+        // candidates, THEN run the f64 similarity as a flat elementwise
+        // loop. One candidate's sqrt+div chain is ~60 cycles of pure
+        // latency; batched, the compiler vectorizes it (vsqrtpd/vdivpd are
+        // correctly rounded per lane, so sims stay bit-identical to the
+        // scalar order — same operations, same associativity).
+        int32_t cx[CH], cy[CH];
+        double accd[CH], spb[CH], s2pb[CH], sim[CH];
+        int nc = 0;
+        auto flush = [&]() {
+            for (int i = 0; i < nc; ++i) {
+                const double spd = spb[i];
+                const double num = accd[i] - (s_n * spd) * n_recip;
+                const double norm_p = s2pb[i] - (spd * spd) / nd;
+                const double rnorm_p = 1.0 / std::sqrt(norm_p);
+                sim[i] = num * (rnorm_n * rnorm_p);
+            }
+            for (int i = 0; i < nc; ++i) {
+                if (sim[i] != std::numeric_limits<double>::infinity() &&
+                    sim[i] > threshold) {
+                    ++kept;
+                    if (emitted < max_matches) {
+                        out_x[off + emitted] = cx[i];
+                        out_y[off + emitted] = cy[i];
+                        out_sim[off + emitted] = static_cast<float>(sim[i]);
+                        ++emitted;
+                    }
+                }
+            }
+            nc = 0;
+        };
+        for (int64_t w = starts[t]; w < ends[t]; ++w) {
+            const int64_t lin = static_cast<int64_t>(widx[w]) % stride;
+            const int64_t y = lin / words_per_row;
+            const int64_t xbase = (lin % words_per_row) * 32;
+            uint32_t bits = wval[w];
+            while (bits) {
+                const int b = __builtin_ctz(bits);
+                bits &= bits - 1;
+                const int64_t x = xbase + b;
+                int64_t acc, sp, s2p;
+                win_stats<NW>(ref, r_w, needle, n_h, n_w, y, x,
+                              &acc, &sp, &s2p);
+                cx[nc] = static_cast<int32_t>(x);
+                cy[nc] = static_cast<int32_t>(y);
+                accd[nc] = static_cast<double>(acc);  // exact: < 2^53
+                spb[nc] = static_cast<double>(sp);
+                s2pb[nc] = static_cast<double>(s2p);
+                if (++nc == CH) flush();
+            }
+        }
+        flush();
+        out_counts[t] = static_cast<int32_t>(emitted);
+        out_warn[t] = kept >= max_matches ? 1 : 0;
     }
 }
 }  // namespace
@@ -253,52 +314,33 @@ void focr_ncc_replay_u8(
     int64_t max_matches,
     int32_t* out_x, int32_t* out_y, float* out_sim,
     int32_t* out_counts, uint8_t* out_warn) {
-    const int64_t n = n_w * n_h;
-    const double n_recip = 1.0 / static_cast<double>(n);
-    const double nd = static_cast<double>(n);
-    const StatFn stats = pick_stats(n_w);
-#pragma omp parallel for schedule(dynamic)
-    for (int64_t t = 0; t < n_needles; ++t) {
-        const uint8_t* needle = bank + t * n_h * n_w;
-        const double s_n = static_cast<double>(s_n_arr[t]);
-        const double norm2_n =
-            static_cast<double>(s2_n_arr[t]) - s_n * s_n / nd;
-        const double rnorm_n = 1.0 / std::sqrt(norm2_n);
-        int64_t off = 32 * starts[t];
-        int64_t emitted = 0;
-        int64_t kept = 0;
-        for (int64_t w = starts[t]; w < ends[t]; ++w) {
-            const int64_t lin = static_cast<int64_t>(widx[w]) % stride;
-            const int64_t y = lin / words_per_row;
-            const int64_t xbase = (lin % words_per_row) * 32;
-            uint32_t bits = wval[w];
-            while (bits) {
-                const int b = __builtin_ctz(bits);
-                bits &= bits - 1;
-                const int64_t x = xbase + b;
-                int64_t acc, sp, s2p;
-                stats(ref, r_w, needle, n_h, n_w, y, x, &acc, &sp, &s2p);
-                const double spd = static_cast<double>(sp);
-                const double num =
-                    static_cast<double>(acc) - (s_n * spd) * n_recip;
-                const double norm_p =
-                    static_cast<double>(s2p) - (spd * spd) / nd;
-                const double rnorm_p = 1.0 / std::sqrt(norm_p);
-                const double sim = num * (rnorm_n * rnorm_p);
-                if (sim != std::numeric_limits<double>::infinity() &&
-                    sim > threshold) {
-                    ++kept;
-                    if (emitted < max_matches) {
-                        out_x[off + emitted] = static_cast<int32_t>(x);
-                        out_y[off + emitted] = static_cast<int32_t>(y);
-                        out_sim[off + emitted] = static_cast<float>(sim);
-                        ++emitted;
-                    }
-                }
-            }
-        }
-        out_counts[t] = static_cast<int32_t>(emitted);
-        out_warn[t] = kept >= max_matches ? 1 : 0;
+    switch (n_w) {
+#define FOCR_REPLAY_CASE(NW)                                              \
+    case NW:                                                              \
+        replay_impl<NW>(ref, r_w, r_h, widx, wval, starts, ends,          \
+                        n_needles, bank, n_w, n_h, s_n_arr, s2_n_arr,     \
+                        threshold, stride, words_per_row, max_matches,    \
+                        out_x, out_y, out_sim, out_counts, out_warn);     \
+        break;
+        FOCR_REPLAY_CASE(4)
+        FOCR_REPLAY_CASE(5)
+        FOCR_REPLAY_CASE(6)
+        FOCR_REPLAY_CASE(7)
+        FOCR_REPLAY_CASE(8)
+        FOCR_REPLAY_CASE(9)
+        FOCR_REPLAY_CASE(10)
+        FOCR_REPLAY_CASE(11)
+        FOCR_REPLAY_CASE(12)
+        FOCR_REPLAY_CASE(13)
+        FOCR_REPLAY_CASE(14)
+        FOCR_REPLAY_CASE(15)
+        FOCR_REPLAY_CASE(16)
+#undef FOCR_REPLAY_CASE
+        default:
+            replay_impl<0>(ref, r_w, r_h, widx, wval, starts, ends,
+                           n_needles, bank, n_w, n_h, s_n_arr, s2_n_arr,
+                           threshold, stride, words_per_row, max_matches,
+                           out_x, out_y, out_sim, out_counts, out_warn);
     }
 }
 
