@@ -368,9 +368,13 @@ def _compact_rank(
 
     K = capw
     p = jnp.arange(K, dtype=jnp.int32)
-    # owning block: first block whose inclusive total exceeds p
-    blk = jax.vmap(lambda c: jnp.searchsorted(c, p, side="right"))(c2)
-    blk = jnp.minimum(blk.astype(jnp.int32), nblk - 1)
+    # owning block: first block whose inclusive total exceeds p, i.e.
+    # #{j : c2[j] <= p} — a fused broadcast compare-count over the ~600-row
+    # block table instead of jnp.searchsorted (XLA lowers the vmapped
+    # binary search as a gather-per-probe while loop: measured 218ms per
+    # 32-page dense wave vs ~20ms for the fused compare-reduce)
+    blk = (c2[:, None, :] <= p[None, :, None]).sum(axis=2, dtype=jnp.int32)
+    blk = jnp.minimum(blk, nblk - 1)
     before2 = jnp.take_along_axis(c2, blk, axis=1) - jnp.take_along_axis(
         s2, blk, axis=1
     )
