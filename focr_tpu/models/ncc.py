@@ -286,7 +286,7 @@ class NccMatcher:
             if g.nh >= H or g.nw >= W:
                 continue
             Hs8 = ((H - g.nh + 1 + 7) // 8) * 8
-            Tp = -(-len(g.needle_ids) // pallas_ncc._TTILE) * pallas_ncc._TTILE
+            Tp = pallas_ncc.pad_t(len(g.needle_ids))
             WB = pallas_ncc.word_stride(W, g.nw) * 8
             per = max(per, Hs8 * Tp * WB)
         if per == 0:

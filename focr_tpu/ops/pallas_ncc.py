@@ -19,8 +19,10 @@ to the oracle. The threshold test is algebraic —
 — equivalent to sim > thr - ε without a division (den > 0 on the kept set,
 valid for thr - ε > 0; pallas_supported() gates on that).
 
-The kernel runs whole-page in VMEM (a letter page is ~2MB as i32); callers
-fall back to the XLA path for pages that exceed the VMEM budget.
+The kernel streams the page through VMEM one 8-window-row band at a time
+(page height never enters the VMEM budget); callers fall back to the XLA
+path only for configurations the kernel cannot express (needles wider than
+16 px, pages so wide the packing matrix overflows VMEM).
 """
 
 from __future__ import annotations
@@ -33,153 +35,122 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TTILE = 128  # needles per grid step: full MXU m-dim (measured 2x vs 64)
+_TROWS = 8  # window rows per grid step (sublane-aligned)
 
 
-def _kernel(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref, n2n_ref,
-            gmat_ref, bytes_ref, win_ref, *, nw, nh, W1, Hs, n):
-    """Kernel body; grid is (page, needle_tile, window_row) — one window row
-    of one _TTILE-needle tile of one page per step (no in-kernel loop:
-    Mosaic's fori_loop lowering is fragile, and the sequential-grid
-    accumulation pattern is the idiomatic TPU form anyway). The page axis is
-    outermost so a whole corpus wave runs as ONE dispatch (the reference
-    fans pages out with rayon, ncc.rs:839-847; off-chip the per-dispatch
-    round trip dominates, so batching pages into the grid is the TPU form).
-
-    thr    [1, 1]       f32  (threshold - ε), SMEM
-    img    [1, Hp, Wp]  f32  inverted page b, zero-padded (u8 values: exact);
-                             whole-page VMEM block, resident across rows
-    ndm    [Tt, K]      f32  needle-tile rows, flattened (K = nh*nw)
-    sp     [1, Hs8, W1] f32  page-b window Σp  (row 0 zeroed => y=0 excluded)
-    s2p    [1, Hs8, W1] f32  page-b window Σp²
-    sn_n   [Tt, 1]      f32  needle Σ / n
-    n2n    [Tt, 1]      f32  needle norm² = Σn² - (Σn)²/n
-    gmat   [W1, W1/8]   f32  bit-packing matrix: G[x, g] = 2^(x%8) · [x//8 == g]
-    bytes  [1, 1, Tt, W1/8] u8 out block at (b, y, tile, 0) — mask bytes
-           (byte g packs x in [8g, 8g+8)); b/y lead so the store inserts
-           LEADING dims, which is layout-trivial for Mosaic (a middle-dim
-           insert on i8 is not)
-    win    [K, W1]      bf16 scratch — im2col rows
-
-    The per-row pipeline is two MXU dots: the correlation
-    (ndm [Tt,K] @ win [K,W1]) and the bit-packing (keep [Tt,W1] @ G) — packing
-    as a matmul sidesteps Mosaic's reshape/relayout restrictions (sums of
-    distinct powers of two ≤ 255 are exact in bf16×bf16→f32).
-    """
-    y = pl.program_id(2)
-    ndm = ndm_ref[:].astype(jnp.bfloat16)
-    gmat = gmat_ref[:].astype(jnp.bfloat16)
-    sn_n = sn_n_ref[:, 0]  # [Tt]
-    n2n = n2n_ref[:, 0]
-    rt_n2n = jnp.sqrt(n2n)
-    thr_eps = thr_ref[0, 0]
-    # search domain excludes x=0 (ncc.rs:279, ncc.cpp:98)
-    col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, W1), 1) >= 1
-
-    # im2col for ONE window row: win[k, x] = img[y+dy, x+dx], k = dy*nw+dx.
-    # Built via per-slice STORES into VMEM scratch — stores relayout the
-    # lane-offset slices to offset 0; a sublane concat of them does not
-    # lower ("offset mismatch on non-concat dimension").
-    for dy in range(nh):
-        row = img_ref[0, pl.ds(y + dy, 1), :].astype(jnp.bfloat16)  # [1, Wp]
-        for dx in range(nw):
-            win_ref[pl.ds(dy * nw + dx, 1), :] = row[:, dx : dx + W1]
-    win = win_ref[:]  # [K, W1]
-    acc = jnp.dot(ndm, win, preferred_element_type=jnp.float32)  # [Tt, W1]
-
-    sp = sp_ref[0, pl.ds(y, 1), :]  # [1, W1]
-    s2p = s2p_ref[0, pl.ds(y, 1), :]
-    norm2p = s2p - sp * sp * jnp.float32(1.0 / n)
-    num = acc - sn_n[:, None] * sp
-    # certified LOWER-bound denominator: norm2p can round ABOVE its exact
-    # value (|error| <= 8 here: magnitudes gated below 2^24), and near zero
-    # variance the sqrt amplifies any overshoot unboundedly — subtract the
-    # error bound BEFORE the sqrt so den_lo <= den_exact always; combined
-    # with the additive num slack, a true match can never be dropped. Extra
-    # candidates die in the exact f64 host replay (norm2p_exact <= 0 =>
-    # sim = inf/NaN there, filtered like the reference ncc.rs:457-473).
-    den_lo = rt_n2n[:, None] * jnp.sqrt(
-        jnp.maximum(norm2p - jnp.float32(8.0), 0.0)
-    )
-    keep = (
-        (sp > 0)
-        & (norm2p > jnp.float32(-8.0))
-        & (n2n[:, None] > 0)
-        & (num > thr_eps * den_lo - jnp.float32(48.0))
-        & col_ok
-        & (y < Hs)  # rows >= Hs are padding: their bytes stay 0
-    )
-    keepf = keep.astype(jnp.float32)
-    packed = jnp.dot(
-        keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
-    )  # [Tt, W1/8] — exact byte values 0..255
-    bytes_ref[:, :, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)[None, None]
+def tile_t(T: int) -> int:
+    """Needles per grid step: the full 128-sublane MXU m-dim, doubled to 256
+    for groups that need a second tile anyway — fewer grid steps means the
+    shared shifted-slice matrix S is rebuilt less often."""
+    return 128 if T <= 128 else 256
 
 
-_TROWS = 8  # window rows per tiled-kernel grid step (sublane-aligned)
+def pad_t(T: int) -> int:
+    """Needle count padded to a whole number of tiles."""
+    tt = tile_t(T)
+    return ((T + tt - 1) // tt) * tt
 
 
-def _kernel_tiled(thr_ref, img_ref, ndm_ref, sp_ref, s2p_ref, sn_n_ref,
-                  n2n_ref, gmat_ref, bytes_ref, win_ref, *,
-                  nw, nh, W1, Hs, n):
-    """Row-tiled kernel body; grid is (page, needle_tile, row_tile) — one
-    _TROWS-row band of one _TTILE-needle tile of one page per step. Unlike
-    _kernel, the image block is an overlapping row-band tile
-    [1, _TROWS+nh-1, Wp] (materialized in HBM by _candidates_impl), NOT the
-    whole page: VMEM holds only the band, so arbitrarily tall pages stream
-    through (SURVEY.md §7 stage 4 — the reference's per-row loop structure,
-    ncc.cpp:98-100, re-expressed as a banded grid).
+def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
+                 sn_n_ref, gmat_ref, bytes_ref, s_ref, *,
+                 nw, nh, W1, Hs, n, Tt):
+    """Kernel body; grid is (page, needle_tile, row_band) — one
+    _TROWS-window-row band of one Tt-needle tile of one page per step. The
+    image input is an overlapping row-band tile [1, 1, TR+nh-1, Wp]
+    materialized in HBM by _candidates_impl (≈2.5× the f32 page — HBM is
+    plentiful; VMEM is the constraint), so page height never enters the VMEM
+    budget and arbitrarily tall pages stream through (SURVEY.md §7 stage 4 —
+    the reference's per-row loop, ncc.cpp:98-100, as a banded grid).
+
+    The correlation for ALL TR rows shares ONE shifted-slice matrix
+    S[q·nw+dx, x] = img[y0+q, x+dx] (the (TR+nh-1)·nw distinct shifted row
+    slices of the band — a per-row im2col would store TR·nh·nw slices, ~6×
+    more VPU work, and per-step VPU work dominated the previous one-row
+    kernel at ~7µs/step). Window row r then contracts against a staticly
+    pre-shifted needle matrix ndmr[r], where ndmr[r, t, r·nw + k] =
+    needle[t, k]: the (q, dx) slice meets needle entry (q-r, dx) exactly
+    when the band layout says q = r + dy, so acc_r = ndmr[r] @ S reproduces
+    the per-row im2col contraction term for term — same products, same
+    nonnegative-partial-sum f32 accumulation (zero padding contributes
+    nothing), so acc is the same exact integer as before.
 
     thr    [1, 1]               f32  (threshold - ε), SMEM
     img    [1, 1, TR+nh-1, Wp]  f32  row band: page rows [yt*TR, …+TR+nh-1)
-    ndm/sn_n/n2n/gmat                as in _kernel
+    ndmr   [1, TR, Tt, Ks]      bf16 shifted needle tiles, Ks = (TR+nh-1)·nw
     sp     [1, 1, TR, W1]       f32  window Σp rows of this band (row 0 of
                                      the page zeroed => y=0 excluded)
     s2p    [1, 1, TR, W1]       f32
-    bytes  [1, TR, Tt, W1/8] u8 out block at (b, yt, tile, 0)
-    win    [K, W1]           bf16 scratch — im2col rows (per band row)
+    rtn    [Tt, 1]              f32  √(needle norm²), +inf when norm² <= 0
+                                     (folds the n2n>0 mask: +inf·finite
+                                     den propagates to a false compare)
+    sn_n   [Tt, 1]              f32  needle Σ / n
+    gmat   [W1, W1/8]           bf16 bit-packing matrix:
+                                     G[x, g] = 2^(x%8) · [x//8 == g]
+    bytes  [1, TR, Tt, W1/8]    u8 out block at (b, yt, tile, 0) — mask
+           bytes (byte g packs x in [8g, 8g+8))
+    s      [Ks, W1]             bf16 scratch — the shared shifted slices
 
-    Per band row r (unrolled python loop, r static): the same two-MXU-dot
-    pipeline as _kernel. All exactness properties carry over unchanged — the
-    math per window row is identical; only the residency scheme differs.
+    Per band row r (unrolled python loop, r static): two MXU dots — the
+    correlation (ndmr[r] [Tt,Ks] @ S [Ks,W1]) and the bit-packing
+    (keep [Tt,W1] @ G; packing as a matmul sidesteps Mosaic's
+    reshape/relayout restrictions — sums of distinct powers of two ≤ 255
+    are exact in bf16×bf16→f32). The row-level masks (sp>0, norm2p>-8,
+    x>=1, y<Hs) fold into a ±inf denominator term instead of a boolean
+    chain: keep = num > thr_eps·den_lo - 48 with den_lo = rtn·q, where
+    q = +inf on masked columns — thr_eps·inf - 48 = +inf and inf·0 = NaN
+    both compare false against the finite num, so the accept set is
+    IDENTICAL to the explicit-mask form (and the pass-case arithmetic is
+    associated exactly as before: rtn·sqrt(...) then ·thr_eps then -48).
     """
+    ndmr = ndmr_ref[:]  # [1, TR, Tt, Ks] bf16
+    gmat = gmat_ref[:]
+    rtn = rtn_ref[:, 0]  # [Tt]
+    sn_n = sn_n_ref[:, 0]
     yt = pl.program_id(2)
-    ndm = ndm_ref[:].astype(jnp.bfloat16)
-    gmat = gmat_ref[:].astype(jnp.bfloat16)
-    sn_n = sn_n_ref[:, 0]  # [Tt]
-    n2n = n2n_ref[:, 0]
-    rt_n2n = jnp.sqrt(n2n)
     thr_eps = thr_ref[0, 0]
+    inf = jnp.float32(jnp.inf)
+    # search domain excludes x=0 (ncc.rs:279, ncc.cpp:98)
     col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, W1), 1) >= 1
+
+    # the band's distinct shifted slices, stored once and shared by all TR
+    # rows: S[q*nw+dx, x] = img[y0+q, x+dx]. Built via per-slice STORES into
+    # VMEM scratch — stores relayout the lane-offset slices to offset 0; a
+    # sublane concat of them does not lower ("offset mismatch on non-concat
+    # dimension").
+    for q in range(_TROWS + nh - 1):
+        row = img_ref[0, 0, pl.ds(q, 1), :].astype(jnp.bfloat16)  # [1, Wp]
+        for dx in range(nw):
+            s_ref[pl.ds(q * nw + dx, 1), :] = row[:, dx : dx + W1]
+    smat = s_ref[:]  # [Ks, W1]
 
     for r in range(_TROWS):
         y = yt * _TROWS + r  # absolute window row (traced scalar)
-        for dy in range(nh):
-            row = img_ref[0, 0, pl.ds(r + dy, 1), :].astype(jnp.bfloat16)
-            for dx in range(nw):
-                win_ref[pl.ds(dy * nw + dx, 1), :] = row[:, dx : dx + W1]
-        win = win_ref[:]  # [K, W1]
-        acc = jnp.dot(ndm, win, preferred_element_type=jnp.float32)  # [Tt, W1]
+        acc = jnp.dot(
+            ndmr[0, r], smat, preferred_element_type=jnp.float32
+        )  # [Tt, W1] — exact: nonneg integer partial sums < 2^24
 
         sp = sp_ref[0, 0, pl.ds(r, 1), :]  # [1, W1]
         s2p = s2p_ref[0, 0, pl.ds(r, 1), :]
         norm2p = s2p - sp * sp * jnp.float32(1.0 / n)
         num = acc - sn_n[:, None] * sp
-        den_lo = rt_n2n[:, None] * jnp.sqrt(
-            jnp.maximum(norm2p - jnp.float32(8.0), 0.0)
+        # certified LOWER-bound denominator: norm2p can round ABOVE its
+        # exact value (|error| <= 8 here: magnitudes gated below 2^24), and
+        # near zero variance the sqrt amplifies any overshoot unboundedly —
+        # subtract the error bound BEFORE the sqrt so den_lo <= den_exact
+        # always; combined with the additive num slack, a true match can
+        # never be dropped. Extra candidates die in the exact f64 host
+        # replay (norm2p_exact <= 0 => sim = inf/NaN there, filtered like
+        # the reference ncc.rs:457-473).
+        row_ok = (sp > 0) & (norm2p > jnp.float32(-8.0)) & col_ok & (y < Hs)
+        q_lo = jnp.where(
+            row_ok, jnp.sqrt(jnp.maximum(norm2p - jnp.float32(8.0), 0.0)), inf
         )
-        keep = (
-            (sp > 0)
-            & (norm2p > jnp.float32(-8.0))
-            & (n2n[:, None] > 0)
-            & (num > thr_eps * den_lo - jnp.float32(48.0))
-            & col_ok
-            & (y < Hs)  # rows >= Hs are padding: their bytes stay 0
-        )
+        den_lo = rtn[:, None] * q_lo
+        keep = num > thr_eps * den_lo - jnp.float32(48.0)
         keepf = keep.astype(jnp.float32)
         packed = jnp.dot(
             keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
-        )  # [Tt, W1/8]
+        )  # [Tt, W1/8] — exact byte values 0..255
         bytes_ref[0, r, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)
 
 
@@ -233,54 +204,66 @@ def _candidates_impl(
     # exact and the f32 conversion preserves positivity.
     n2n_int = jnp.int64(n) * s2_n.astype(jnp.int64) - s_n.astype(jnp.int64) ** 2
     n2n = (n2n_int.astype(jnp.float32) / nf).reshape(T, 1)
+    # √norm² with the zero-variance needles (incl. the Tp padding) pinned to
+    # +inf — the kernel folds the n2n>0 mask into this denominator factor
+    rtn = jnp.where(n2n > 0, jnp.sqrt(n2n), jnp.float32(jnp.inf))
     thr_arr = (threshold.astype(jnp.float32) - jnp.float32(eps)).reshape(1, 1)
 
     WW = W1 // 32
     WB = W1 // 8
-    Tt = _TTILE
-    Tp = ((T + Tt - 1) // Tt) * Tt
-    if Tp != T:  # pad with zero needles: n2n == 0 => no candidates
+    Tt = tile_t(T)
+    Tp = pad_t(T)
+    if Tp != T:  # pad with zero needles: rtn == +inf => no candidates
         ndm = jnp.pad(ndm, ((0, Tp - T), (0, 0)))
         sn_n = jnp.pad(sn_n, ((0, Tp - T), (0, 0)))
-        n2n = jnp.pad(n2n, ((0, Tp - T), (0, 0)))
+        rtn = jnp.pad(rtn, ((0, Tp - T), (0, 0)),
+                      constant_values=np.float32(np.inf))
 
-    # bit-packing matrix: G[x, g] = 2^(x % 8) iff x // 8 == g
+    # bit-packing matrix: G[x, g] = 2^(x % 8) iff x // 8 == g (powers of two
+    # ≤ 128: exact in bf16)
     xs = np.arange(W1)
     gm = np.zeros((W1, WB), dtype=np.float32)
     gm[xs, xs // 8] = (1 << (xs % 8)).astype(np.float32)
-    gmat = jnp.asarray(gm)
+    gmat = jnp.asarray(gm).astype(jnp.bfloat16)
 
+    # staticly pre-shifted needle tiles: ndmr[i, r, t, r·nw + k] =
+    # bank[i·Tt + t, k] (zero elsewhere) — window row r of a band contracts
+    # needle entry (dy, dx) against band slice q = r + dy, and the shift
+    # r·nw in the flattened (q, dx) index is exactly a left zero-pad
+    band = _TROWS + nh - 1
+    Ks = band * nw
+    ndmr = jnp.stack(
+        [jnp.pad(ndm, ((0, 0), (r * nw, Ks - n - r * nw))) for r in range(_TROWS)]
+    )  # [TR, Tp, Ks]
+    ndmr = (
+        ndmr.reshape(_TROWS, Tp // Tt, Tt, Ks)
+        .transpose(1, 0, 2, 3)
+        .astype(jnp.bfloat16)  # integer values ≤ 255: exact
+    )
+
+    # row-banded residency: materialize overlapping image row bands in HBM
+    # (≈2.5× the f32 page — HBM is plentiful; VMEM is the constraint) and
+    # stream one band per grid step. sp/s2p tile cleanly (Hs8 is a multiple
+    # of _TROWS).
+    n_bands = Hs8 // _TROWS
+    ridx = (
+        np.arange(n_bands)[:, None] * _TROWS + np.arange(band)[None, :]
+    )  # [n_bands, band] rows into img_i (Hp = Hs8 + nh - 1 >= max+1)
+    img_t = img_i[:, ridx, :]  # [B, n_bands, band, Wp]
+    sp_t = sp_f.reshape(B, n_bands, _TROWS, W1)
+    s2p_t = s2p_f.reshape(B, n_bands, _TROWS, W1)
+    kernel = functools.partial(
+        _kernel_rows, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n, Tt=Tt
+    )
+    grid = (B, Tp // Tt, n_bands)
     # trace the kernel with x64 OFF: under the package-global jax_enable_x64,
     # python-int literals in BlockSpec index maps / kernel body become i64
     # constants, and Mosaic cannot legalize i64 (func.return (i64, i64))
-    if pallas_mode(H, W, nw, nh) == "tiled":
-        # row-banded residency: materialize overlapping image row bands in
-        # HBM (≈2x the f32 page — HBM is plentiful; VMEM was the constraint)
-        # and stream one band per grid step. sp/s2p tile cleanly (Hs8 is a
-        # multiple of _TROWS).
-        n_tiles = Hs8 // _TROWS
-        band = _TROWS + nh - 1
-        ridx = (
-            np.arange(n_tiles)[:, None] * _TROWS + np.arange(band)[None, :]
-        )  # [n_tiles, band] rows into img_i (Hp = Hs8 + nh - 1 >= max+1)
-        img_t = img_i[:, ridx, :]  # [B, n_tiles, band, Wp]
-        sp_t = sp_f.reshape(B, n_tiles, _TROWS, W1)
-        s2p_t = s2p_f.reshape(B, n_tiles, _TROWS, W1)
-        kernel = functools.partial(_kernel_tiled, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
-        grid = (B, Tp // Tt, n_tiles)
-        with jax.enable_x64(False):
-            mask_bytes = _call_tiled(
-                kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, img_t.shape[-1],
-                interpret, thr_arr, img_t, ndm, sp_t, s2p_t, sn_n, n2n, gmat,
-            )
-    else:
-        kernel = functools.partial(_kernel, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n)
-        grid = (B, Tp // Tt, Hs8)
-        with jax.enable_x64(False):
-            mask_bytes = _call(
-                kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_i.shape, interpret,
-                thr_arr, img_i, ndm, sp_f, s2p_f, sn_n, n2n, gmat,
-            )
+    with jax.enable_x64(False):
+        mask_bytes = _call_rows(
+            kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, img_t.shape[-1],
+            interpret, thr_arr, img_t, ndmr, sp_t, s2p_t, rtn, sn_n, gmat,
+        )
     return _compact_rank(mask_bytes, B, T, Tp, Hs8, WW, capw)
 
 
@@ -500,40 +483,11 @@ def ncc_candidates_pallas_batch(
     )
 
 
-def _call(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, img_shape, interpret, *args):
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        out_shape=jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, img_shape[1], img_shape[2]),
-                         lambda b, i, y: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tt, n), lambda b, i, y: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hs8, W1), lambda b, i, y: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hs8, W1), lambda b, i, y: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tt, 1), lambda b, i, y: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tt, 1), lambda b, i, y: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W1, WB), lambda b, i, y: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, Tt, WB), lambda b, i, y: (b, y, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, W1), jnp.bfloat16)],
-        interpret=interpret,
-    )(*args)
-
-
-def _call_tiled(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, Wp,
-                interpret, *args):
-    """pallas_call wrapper for the row-tiled kernel: the image input is the
-    pre-banded [B, n_tiles, band, Wp] array (one overlapping row band per
-    grid step), outputs have the same global layout as _call's."""
+def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, Wp,
+               interpret, *args):
+    """pallas_call wrapper for the banded kernel: the image input is the
+    pre-banded [B, n_bands, band, Wp] array (one overlapping row band per
+    grid step); the mask-byte output is y-major [B, Hs8, Tp, WB]."""
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -542,7 +496,7 @@ def _call_tiled(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, Wp,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, band, Wp), lambda b, i, yt: (b, yt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tt, n), lambda b, i, yt: (i, 0),
+            pl.BlockSpec((1, _TROWS, Tt, Ks), lambda b, i, yt: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _TROWS, W1), lambda b, i, yt: (b, yt, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -557,7 +511,7 @@ def _call_tiled(kernel, grid, B, Hs8, Tp, Tt, WB, W1, n, band, Wp,
         ],
         out_specs=pl.BlockSpec((1, _TROWS, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, W1), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((Ks, W1), jnp.bfloat16)],
         interpret=interpret,
     )(*args)
 
@@ -573,38 +527,25 @@ def words_per_needle(H: int, W: int, nw: int, nh: int) -> int:
     return Hs8 * word_stride(W, nw)
 
 
-def _vmem_whole(H: int, W: int, nw: int, nh: int) -> int:
-    """VMEM bytes for the whole-page-resident kernel (_kernel)."""
-    Hs8 = ((H - nh + 1 + 7) // 8) * 8
-    W1 = word_stride(W, nw) * 32
-    K = nh * nw
-    return (
-        4 * (Hs8 + nh - 1) * (W1 + nw)  # image (f32)
-        + 2 * 4 * Hs8 * W1  # sp + s2p planes
-        + 4 * W1 * (W1 // 8)  # gmat bit-packing matrix (quadratic in W!)
-        + 2 * K * W1  # bf16 im2col scratch
-        + 4 * _TTILE * K  # needle tile
-        + _TTILE * (W1 // 8)  # bytes out block (+ counts, negligible)
-    )
-
-
-def _vmem_tiled(H: int, W: int, nw: int, nh: int) -> int:
-    """VMEM bytes for the row-tiled kernel (_kernel_tiled): only one
-    _TROWS-row band is resident (double-buffered), so the page height drops
-    out entirely — tall pages stream through. Width still enters via the
-    gmat packing matrix (quadratic in W1)."""
+def _vmem_rows(H: int, W: int, nw: int, nh: int) -> int:
+    """VMEM bytes for the banded kernel (_kernel_rows): only one _TROWS-row
+    band is resident (double-buffered), so the page height drops out
+    entirely — tall pages stream through. Width still enters via the gmat
+    packing matrix (quadratic in W1). Tt is taken at its 256 maximum (the
+    needle count is not known here)."""
     W1 = word_stride(W, nw) * 32
     Wp = W1 + nw - 1
-    K = nh * nw
     band = _TROWS + nh - 1
+    Ks = band * nw
+    Tt = 256
     return (
         2 * 4 * band * Wp  # img band x2 (pipeline double buffering)
         + 2 * 2 * 4 * _TROWS * W1  # sp + s2p bands x2
-        + 4 * W1 * (W1 // 8)  # gmat
-        + 2 * K * W1  # bf16 im2col scratch
-        + 4 * _TTILE * K  # needle tile
-        + 4 * _TTILE * W1  # acc transient
-        + 2 * _TROWS * _TTILE * (W1 // 8)  # bytes out block x2
+        + 2 * W1 * (W1 // 8)  # gmat (bf16)
+        + 2 * Ks * W1  # bf16 shifted-slice scratch
+        + 2 * 2 * _TROWS * Tt * Ks  # shifted needle tiles x2 (bf16)
+        + 2 * 4 * Tt * W1  # acc + num transients
+        + 2 * _TROWS * Tt * (W1 // 8)  # bytes out block x2
     )
 
 
@@ -612,11 +553,10 @@ _VMEM_BUDGET = 10 * 2**20
 
 
 def pallas_mode(H: int, W: int, nw: int, nh: int) -> str | None:
-    """Which kernel residency scheme handles this configuration: 'whole'
-    (page resident, the proven default for letter-size pages), 'tiled'
-    (row-banded streaming for tall pages), or None (XLA fallback — e.g.
-    needles wider than 16 px, or pages so WIDE the packing matrix alone
-    overflows VMEM)."""
+    """Whether the banded kernel handles this configuration: 'rows'
+    (row-band streaming — page height never enters the VMEM budget), or
+    None (XLA fallback — e.g. needles wider than 16 px, or pages so WIDE
+    the packing matrix alone overflows VMEM)."""
     Hs = H - nh + 1
     if Hs < 8 or W - nw + 1 < 2 or nw > 16:
         return None
@@ -624,10 +564,8 @@ def pallas_mode(H: int, W: int, nw: int, nh: int) -> str | None:
         return None  # acc/sp/s2p must be exact in f32 (no in-kernel nibble split)
     if H * nw * 65025 >= 2**31:
         return None  # window_stats would need i64 (f32 stats lose exactness)
-    if _vmem_whole(H, W, nw, nh) < _VMEM_BUDGET:
-        return "whole"
-    if _vmem_tiled(H, W, nw, nh) < _VMEM_BUDGET:
-        return "tiled"
+    if _vmem_rows(H, W, nw, nh) < _VMEM_BUDGET:
+        return "rows"
     return None
 
 

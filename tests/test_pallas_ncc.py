@@ -165,20 +165,13 @@ def test_get_hits_many_wave_parity_mixed_shapes(mono_font_path):
     assert [key(h) for h in many] == [key(h) for h in singles]
 
 
-def test_pallas_tiled_mask_matches_xla_candidates(monkeypatch):
-    """The row-tiled kernel (_kernel_tiled) must produce the same ε-superset
-    mask semantics as the XLA path: forced into tiled mode on a small page
-    by shrinking the VMEM budget (fresh shape => fresh trace), candidates
-    must contain every XLA candidate in scan order."""
+def test_pallas_banded_mask_matches_xla_candidates():
+    """The banded kernel (_kernel_rows) must produce the same ε-superset
+    mask semantics as the XLA path on a tall-ish page: candidates must
+    contain every XLA candidate in scan order."""
     rng = np.random.default_rng(9)
-    # fresh shape (no cached whole-mode trace); tall enough that whole-page
-    # residency costs more VMEM than the row-banded scheme
     H, W, T, nh, nw = 200, 103, 6, 9, 13
-    tiled_need = pallas_ncc._vmem_tiled(H, W, nw, nh)
-    whole_need = pallas_ncc._vmem_whole(H, W, nw, nh)
-    assert tiled_need < whole_need, "budget trick needs tiled < whole"
-    monkeypatch.setattr(pallas_ncc, "_VMEM_BUDGET", (tiled_need + whole_need) // 2)
-    assert pallas_ncc.pallas_mode(H, W, nw, nh) == "tiled"
+    assert pallas_ncc.pallas_mode(H, W, nw, nh) == "rows"
 
     img = rng.integers(0, 40, (H, W), dtype=np.uint8)
     needles = rng.integers(0, 255, (T, nh, nw), dtype=np.uint8)
@@ -215,9 +208,9 @@ def test_pallas_tiled_mask_matches_xla_candidates(monkeypatch):
     assert found_any > 0
 
 
-def test_pallas_tiled_matcher_matches_oracle(mono_font_path, monkeypatch):
-    """Full matcher pipeline through the row-tiled kernel: bit-identical to
-    the oracle (same page shape trick as above, fresh shape)."""
+def test_pallas_banded_matcher_matches_oracle(mono_font_path):
+    """Full matcher pipeline through the banded kernel on a fresh tall-ish
+    page shape: bit-identical to the oracle."""
     from focr_tpu.fonts.ft import Face
     from focr_tpu.io.synth import synthesize_page
     from focr_tpu.models.ncc import NccMatcher
@@ -225,19 +218,11 @@ def test_pallas_tiled_matcher_matches_oracle(mono_font_path, monkeypatch):
     face = Face(mono_font_path)
     ropts = RenderOptions(size=11.0)
     dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
-    H, W = 210, 131  # fresh shape, tall enough that tiled needs less VMEM
+    H, W = 210, 131
     page = synthesize_page(face, ["AB01ab", "10BAba"], dopts, ropts, "AB01ab", (H, W))
     m = NccMatcher(face, "AB01ab", ropts, x_bits=1, threshold=0.8, device_kernel="pallas")
-    lo = min(
-        pallas_ncc._vmem_tiled(H, W, g.nw, g.nh) for g in m.groups
-    )
-    hi = min(
-        pallas_ncc._vmem_whole(H, W, g.nw, g.nh) for g in m.groups
-    )
-    assert lo < hi
-    monkeypatch.setattr(pallas_ncc, "_VMEM_BUDGET", (lo + hi) // 2)
     for g in m.groups:
-        assert pallas_ncc.pallas_mode(H, W, g.nw, g.nh) == "tiled"
+        assert pallas_ncc.pallas_mode(H, W, g.nw, g.nh) == "rows"
     hp = m.get_hits(page)
     ho = m.get_hits_oracle(page)
     assert len(hp) > 0
@@ -248,11 +233,11 @@ def test_pallas_tiled_matcher_matches_oracle(mono_font_path, monkeypatch):
 
 
 def test_pallas_mode_selection():
-    """Residency-mode policy: letter pages stay whole-page; a 2500x2000 scan
-    (VERDICT r2 #4's acceptance bar) goes tiled instead of dropping to XLA;
-    wide needles and ultra-wide pages still fall back."""
-    assert pallas_ncc.pallas_mode(792, 662, 9, 13) == "whole"
-    assert pallas_ncc.pallas_mode(2500, 2000, 9, 13) == "tiled"
+    """Residency policy: the banded kernel streams any page height through
+    VMEM (VERDICT r2 #4's 2500x2000 acceptance bar included); wide needles
+    and ultra-wide pages still fall back to XLA."""
+    assert pallas_ncc.pallas_mode(792, 662, 9, 13) == "rows"
+    assert pallas_ncc.pallas_mode(2500, 2000, 9, 13) == "rows"
     assert pallas_ncc.pallas_supported(2500, 2000, 9, 13, 0.8)
     assert pallas_ncc.pallas_mode(2500, 2000, 17, 13) is None  # needle too wide
     assert pallas_ncc.pallas_mode(100, 100_000, 9, 13) is None  # gmat quadratic
