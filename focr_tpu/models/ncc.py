@@ -270,16 +270,19 @@ class NccMatcher:
         self._fused_fns: dict[tuple, object] = {}  # fused wave-sweep jits
 
     def _wave_for(self, pages: list[np.ndarray]) -> int:
-        """Pages per batched dispatch wave: as LARGE as device memory allows
-        (cap 64) — the remote transport is latency-bound, so fewer
-        dispatch/fetch round trips beat finer pipelining — bounded so the
-        largest per-group mask plane stays under ~4GB of HBM (tall pages
-        wave smaller). FOCR_NCC_WAVE overrides."""
+        """Pages per batched dispatch wave. Small waves (16) with the depth-2
+        dispatch pipeline beat one big wave: the remote transport's d2h
+        bandwidth swings 25-200 MB/s between windows, and in a slow window a
+        single corpus-sized wave serializes upload -> compute -> fetch ->
+        collect with zero overlap (measured 64-page corpus: wave 8-16 at
+        33-40 pages/s vs wave 64 at 12-22 in the same windows). The memory
+        bound still shrinks waves for tall pages (largest per-group mask
+        plane under ~4GB HBM). FOCR_NCC_WAVE overrides."""
         env = _wave_size()
         if env is not None:
             return env
         if not pages:
-            return 32
+            return 16
         H, W = pages[0].shape
         per = 0
         for g in self.groups:
@@ -290,8 +293,8 @@ class NccMatcher:
             WB = pallas_ncc.word_stride(W, g.nw) * 8
             per = max(per, Hs8 * Tp * WB)
         if per == 0:
-            return 32
-        return max(8, min(64, ((4 << 30) // per) // 8 * 8))
+            return 16
+        return max(8, min(16, ((4 << 30) // per) // 8 * 8))
 
     def _fused_sweep(self, inv_j, specs: tuple, device) -> tuple:
         """ONE jitted executable sweeping every Pallas-able size group of a

@@ -346,6 +346,7 @@ def _compact_rank(
     nblk = Mp // BLK
     s1 = wfr.reshape(B, nsub, _SUB).sum(axis=2, dtype=jnp.int32)  # [B, nsub]
     s2 = s1.reshape(B, nblk, _NB).sum(axis=2)  # [B, nblk]
+
     c2 = jnp.cumsum(s2, axis=1)  # [B, nblk] — tiny
     nz_words = c2[:, -1]
 
@@ -355,12 +356,15 @@ def _compact_rank(
     # #{j : c2[j] <= p} — a fused broadcast compare-count over the ~600-row
     # block table instead of jnp.searchsorted (XLA lowers the vmapped
     # binary search as a gather-per-probe while loop: measured 218ms per
-    # 32-page dense wave vs ~20ms for the fused compare-reduce)
+    # 32-page dense wave vs ~20ms for the fused compare-reduce). A
+    # super-block hierarchy was tried and reverted: per-slot row GATHERS,
+    # not the compare-reduce, dominate the K-scaling cost on TPU, and the
+    # extra level added one.
     blk = (c2[:, None, :] <= p[None, :, None]).sum(axis=2, dtype=jnp.int32)
     blk = jnp.minimum(blk, nblk - 1)
-    before2 = jnp.take_along_axis(c2, blk, axis=1) - jnp.take_along_axis(
-        s2, blk, axis=1
-    )
+    # ONE gather from the exclusive-prefix table (c2 − s2 is elementwise on
+    # the tiny block table) instead of two K-sized take_along_axis calls
+    before2 = jnp.take_along_axis(c2 - s2, blk, axis=1)
     j2 = p[None] - before2  # rank within block, valid where p < nz_words
 
     tri_nb = jnp.asarray(np.triu(np.ones((_NB, _NB), np.float32)))
@@ -371,9 +375,10 @@ def _compact_rank(
     j2f = j2.astype(jnp.float32)
     sub = (cum1 <= j2f[:, :, None]).sum(axis=2, dtype=jnp.int32)
     sub = jnp.minimum(sub, _NB - 1)
-    before1 = (
-        jnp.take_along_axis(cum1, sub[:, :, None], axis=2)
-        - jnp.take_along_axis(rows1, sub[:, :, None], axis=2).astype(jnp.float32)
+    # exclusive-prefix table (elementwise on the already-materialized cum1)
+    # halves the per-slot take_along_axis gathers here too
+    before1 = jnp.take_along_axis(
+        cum1 - rows1.astype(jnp.float32), sub[:, :, None], axis=2
     )[:, :, 0]
     j1 = j2f - before1  # rank within sub-block
 
