@@ -32,7 +32,7 @@ from focr_tpu.ops import ncc as ncc_ops
 from focr_tpu.ops import pallas_ncc
 
 
-def ncc_ops_pallas_call(inv_j, grp, dev, capw: int):
+def ncc_ops_pallas_call(inv_j, grp, dev, caph: int):
     """Invoke the Pallas bitmask kernel for one size group (interpret mode
     off-TPU so CPU CI exercises the same code path). ``dev`` is the group's
     cached device-resident (bank, s_n, s2_n, threshold) tuple."""
@@ -46,12 +46,12 @@ def ncc_ops_pallas_call(inv_j, grp, dev, capw: int):
         thr_j,
         nw=grp.nw,
         nh=grp.nh,
-        capw=capw,
+        caph=caph,
         interpret=interpret,
     )
 
 
-def ncc_ops_pallas_call_batch(inv_j, grp, dev, capw: int):
+def ncc_ops_pallas_call_batch(inv_j, grp, dev, caph: int):
     """Batched-page variant: ONE kernel dispatch sweeps a [B, H, W] wave
     (page axis = outermost grid dim) and returns [B, ...] result buffers, so
     a wave costs one dispatch + one fetch per size group instead of B of
@@ -67,18 +67,18 @@ def ncc_ops_pallas_call_batch(inv_j, grp, dev, capw: int):
         thr_j,
         nw=grp.nw,
         nh=grp.nh,
-        capw=capw,
+        caph=caph,
         interpret=interpret,
     )
 
 _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA path
-# GLOBAL nonzero-word capacity for the Pallas path. Device time is capw-
-# insensitive, but the result fetch is capw-sized and per-page: start small
-# (typical corpora need a few hundred words), auto-bump a group to the max
-# on its first overflow (one exact device re-dispatch), and remember the
-# bumped size for subsequent pages.
-_CAPW_START = 4096  # 24KB fetch (6B/word: u16 local idx + u32 bits)
-_CAPW_MAX = 32768  # 192KB fetch
+# GLOBAL candidate capacity for the Pallas path. Device time is only mildly
+# caph-sensitive, but the result fetch is caph-sized and per-page: start
+# small (typical corpora need a few hundred candidates), auto-bump a group
+# on its first overflow (one exact device re-dispatch) to 1.25x measured
+# need, and remember the bumped size for subsequent pages.
+_CAPH_START = 4096  # 16KB fetch (4B/candidate: i32 local position)
+_CAPH_MAX = 49152  # 192KB fetch
 
 _EMPTY = (
     np.zeros(0, np.int64),
@@ -259,7 +259,7 @@ class NccMatcher:
             device_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         assert device_kernel in ("pallas", "xla")
         self.device_kernel = device_kernel
-        self._capw: dict[tuple[int, int], int] = {}  # (nh, nw) -> current capw
+        self._caph: dict[tuple[int, int], int] = {}  # (nh, nw) -> current caph
         # device-resident per-group constants (bank, s_n, s2_n, threshold):
         # uploaded once PER DEVICE, reused for every page (re-uploading per
         # page costs a host->device round trip per group on the remote
@@ -301,7 +301,7 @@ class NccMatcher:
         wave: the remote transport is latency-bound (an RPC round trip costs
         10-500ms window-dependent, while bandwidth sits at GB/s), so one
         execute call for all groups beats one per group. ``specs`` is a
-        tuple of (group index, capw); returns the per-group outs tuple."""
+        tuple of (group index, caph); returns the per-group outs tuple."""
         key = (inv_j.shape, specs, device)
         fn = self._fused_fns.get(key)
         if fn is None:
@@ -311,13 +311,13 @@ class NccMatcher:
 
             def f(inv):
                 outs = []
-                for gi, capw in specs:
+                for gi, caph in specs:
                     grp = groups[gi]
                     bank_j, s_n_j, s2_n_j, thr_j = devg[gi]
                     outs.append(
                         pallas_ncc.ncc_candidates_pallas_batch(
                             inv, bank_j, s_n_j, s2_n_j, thr_j,
-                            nw=grp.nw, nh=grp.nh, capw=capw,
+                            nw=grp.nw, nh=grp.nh, caph=caph,
                             interpret=interpret,
                         )
                     )
@@ -596,7 +596,7 @@ class NccMatcher:
                 # exclude the upload from the first group's measured span
                 jax.block_until_ready(inv_j)
             plans: list[tuple[_Group, str, object] | None] = [None] * len(self.groups)
-            fspecs: list[tuple[int, int]] = []  # (group idx, capw) to fuse
+            fspecs: list[tuple[int, int]] = []  # (group idx, caph) to fuse
             for gi, (grp, dev) in enumerate(
                 zip(self.groups, self._device_groups(device))
             ):
@@ -607,12 +607,12 @@ class NccMatcher:
                 if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
                     H, W, grp.nw, grp.nh, self.threshold
                 ):
-                    capw = self._capw.get((grp.nh, grp.nw), _CAPW_START)
+                    caph = self._caph.get((grp.nh, grp.nw), _CAPH_START)
                     if measure is None:
-                        fspecs.append((gi, capw))
+                        fspecs.append((gi, caph))
                         continue
                     # sync mode: per-group dispatch so the span is per-group
-                    outs = ncc_ops_pallas_call_batch(inv_j, grp, dev, capw=capw)
+                    outs = ncc_ops_pallas_call_batch(inv_j, grp, dev, caph=caph)
                     plans[gi] = (grp, "pallas", outs)
                 else:
                     bank_j, s_n_j, s2_n_j, thr_j = dev
@@ -669,11 +669,11 @@ class NccMatcher:
                         for pp in page_plans:
                             pp.append((grp, "empty", None))
                     elif kind == "pallas":
-                        widx, wval, counts, nzw = next(it)
+                        pos, hcnt, nzh = next(it)
                         for k, pp in enumerate(page_plans):
                             pp.append(
                                 (grp, "pallas",
-                                 (widx[k], wval[k], counts[k], nzw[k : k + 1]))
+                                 (pos[k], hcnt[k], nzh[k : k + 1]))
                             )
                     else:
                         for pp in page_plans:
@@ -894,28 +894,28 @@ class NccMatcher:
         page, oracle_searcher, verbose, H, W, elapsed, device=None,
         time_label: str = "estimated: page span attributed evenly",
     ):
-        """One dispatched size group: fetch the Pallas bitmask + host replay."""
+        """One dispatched size group: fetch the Pallas positions + host replay."""
         n = grp.nh * grp.nw
-        widx, wval, wcnt, nzw = (np.asarray(o) for o in outs)
+        pos_a, hcnt, nzh = (np.asarray(o) for o in outs)
         inv_u8 = tables.inv_u8
-        if int(nzw[0]) > widx.shape[0] and widx.shape[0] < _CAPW_MAX:
-            # global word-cap overflow (suffix truncation — the rank
-            # compaction is exact first-capw, so this is the only loss mode):
-            # grow this group's capw to 1.25x the MEASURED word count (nzw is
-            # exact), rounded up to a 1024-word step — the per-page result
-            # fetch stays sized to the corpus density (the d2h fetch is the
-            # ncc pipeline's long pole) instead of doubling past it, the 25%
-            # headroom absorbs page-to-page density variation, and the step
-            # granularity bounds the number of distinct compiled cap sizes —
-            # then re-dispatch THIS page once (an exact device redo beats
-            # per-needle host fallbacks). A denser later page re-grows the
-            # same way.
-            need = max(int(nzw[0]), 2 * widx.shape[0])
-            capw_new = min(_CAPW_MAX, -(-(need + (need >> 2)) // 1024) * 1024)
+        if int(nzh[0]) > pos_a.shape[0] and pos_a.shape[0] < _CAPH_MAX:
+            # global candidate-cap overflow (suffix truncation — the rank
+            # compaction is exact first-caph, so this is the only loss mode):
+            # grow this group's caph to 1.25x the MEASURED candidate count
+            # (nzh is exact), rounded up to a 1024-slot step — the per-page
+            # result fetch stays sized to the corpus density (the d2h fetch
+            # is the ncc pipeline's long pole) instead of doubling past it,
+            # the 25% headroom absorbs page-to-page density variation, and
+            # the step granularity bounds the number of distinct compiled
+            # cap sizes — then re-dispatch THIS page once (an exact device
+            # redo beats per-needle host fallbacks). A denser later page
+            # re-grows the same way.
+            need = max(int(nzh[0]), 2 * pos_a.shape[0])
+            caph_new = min(_CAPH_MAX, -(-(need + (need >> 2)) // 1024) * 1024)
             # benign race under page-parallel collect: concurrent overflows
             # each redo exactly and last-write-wins on the cached cap; a
             # later page that needs more simply regrows
-            self._capw[(grp.nh, grp.nw)] = capw_new
+            self._caph[(grp.nh, grp.nw)] = caph_new
             # the redo stays on the page's dispatch device: in the mesh
             # scatter path a default-device redo would re-upload every
             # group's constants to chip 0 and contend with its sweeps
@@ -926,25 +926,21 @@ class NccMatcher:
                 jnp.asarray(inv_u8) if device is None
                 else jax.device_put(inv_u8, device)
             )
-            redo = ncc_ops_pallas_call(inv_dev, grp, dev, capw=capw_new)
-            widx, wval, wcnt, nzw = jax.device_get(redo)
-        WW = pallas_ncc.word_stride(W, grp.nw)
-        stride = pallas_ncc.words_per_needle(H, W, grp.nw, grp.nh)
-        bit = np.arange(32, dtype=np.int64)
+            redo = ncc_ops_pallas_call(inv_dev, grp, dev, caph=caph_new)
+            pos_a, hcnt, nzh = (np.asarray(o) for o in jax.device_get(redo))
+        W1 = pallas_ncc.word_stride(W, grp.nw) * 32  # pos = y*W1 + x
 
         T = len(grp.needle_ids)
-        capw = widx.shape[0]
-        nv = min(int(nzw[0]), capw)  # valid prefix (0-padded past it)
-        w_loc = widx[:nv].astype(np.int64)  # LOCAL word index within needle
-        v_all = wval[:nv].astype(np.uint32)
-        # per-needle kept-word spans from the exact word counts (wcnt is
+        caph = pos_a.shape[0]
+        nv = min(int(nzh[0]), caph)  # valid prefix (0-padded past it)
+        # per-needle candidate spans from the exact counts (hcnt is
         # cap-independent, so truncation is detectable per needle)
-        ends_all = np.cumsum(wcnt.astype(np.int64))
-        starts_all = ends_all - wcnt
-        # global-cap overflow: words past the capw-th were dropped; exactly
-        # the needles whose spans extend past capw are suspect
-        if int(nzw[0]) > capw:
-            first_suspect = int(np.searchsorted(ends_all, capw, side="right"))
+        ends_all = np.cumsum(hcnt.astype(np.int64))
+        starts_all = ends_all - hcnt
+        # global-cap overflow: candidates past the caph-th were dropped;
+        # exactly the needles whose spans extend past caph are suspect
+        if int(nzh[0]) > caph:
+            first_suspect = int(np.searchsorted(ends_all, caph, side="right"))
         else:
             first_suspect = T
         ws = np.minimum(starts_all, nv)
@@ -955,33 +951,30 @@ class NccMatcher:
 
             if ncc_cpu.available():  # toolchain gate; real bugs must raise
                 native = ncc_cpu.replay_group(
-                    inv_u8, w_loc, v_all,
+                    inv_u8, pos_a[:nv],
                     ws[:first_suspect], we[:first_suspect],
                     grp.bank, grp.s_n, grp.s2_n,
-                    float(thr_f64), stride, WW, MAX_MATCHES,
+                    float(thr_f64), W1, MAX_MATCHES,
                 )
 
         if native is None:
-            # NumPy replay: unpack every candidate at once (np.nonzero is
-            # row-major, so (word, bit) keeps the (needle, scan) order)
+            # NumPy replay: candidate positions arrive in (needle, scan)
+            # order already — no bit unpacking
             wins = np.lib.stride_tricks.sliding_window_view(
                 tables.i32(), (grp.nh, grp.nw)
             )
             wins_sq = np.lib.stride_tricks.sliding_window_view(
                 tables.sq(), (grp.nh, grp.nw)
             )
-            nid = np.searchsorted(ends_all, np.arange(nv), side="right")
-            bits = ((v_all[:, None] >> bit.astype(np.uint32)[None, :]) & 1).astype(bool)
-            wi, b = np.nonzero(bits)
-            nid_c = nid[wi]
-            w_in = w_loc[wi]
-            ys = w_in // WW
-            xs = (w_in % WW) * 32 + b
+            lin = pos_a[:nv].astype(np.int64)
+            nid_c = np.searchsorted(ends_all, np.arange(nv), side="right")
+            ys = lin // W1
+            xs = lin % W1
             if len(ys):
                 bank32 = grp.bank.astype(np.int32)
                 sim = np.empty(len(ys), np.float64)
                 # chunked: the [chunk, nh, nw] i32 gathers are the peak host
-                # allocation (a dense page at capw=32768 can carry ~1M
+                # allocation (a dense page at caph=49152 carries that many
                 # candidates; unchunked that is GB-scale transient memory)
                 CH = 65536
                 for c0 in range(0, len(ys), CH):
@@ -995,16 +988,16 @@ class NccMatcher:
                     )
             else:
                 sim = np.zeros(0, np.float64)
-            cs = np.searchsorted(nid_c, np.arange(T))
-            ce = np.searchsorted(nid_c, np.arange(T) + 1)
+            cs = np.minimum(starts_all, nv)
+            ce = np.minimum(ends_all, nv)
         else:
             out_x, out_y, out_sim, n_counts, n_warn = native
 
         for ti, i in enumerate(grp.needle_ids):
             nd = self.needles[i]
             if ti >= first_suspect:
-                # truncated by the global word cap (pathological density):
-                # exact host fallback for this needle only
+                # truncated by the global candidate cap (pathological
+                # density): exact host fallback for this needle only
                 if oracle_searcher is None:
                     oracle_searcher = _host_searcher(page)
                 per_needle[i] = _matches_to_arrays(
@@ -1014,7 +1007,7 @@ class NccMatcher:
             if native is not None:
                 if n_warn[ti]:
                     print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
-                off = 32 * int(ws[ti])
+                off = int(ws[ti])
                 k = int(n_counts[ti])
                 # i32 views, not i64 copies: _make_struct widens ONCE after
                 # concatenation; ~600 per-needle astype calls/page were real
@@ -1024,7 +1017,7 @@ class NccMatcher:
                     out_sim[off : off + k],
                 )
                 continue
-            s = slice(cs[ti], ce[ti])
+            s = slice(int(cs[ti]), int(ce[ti]))
             keep = (sim[s] != np.inf) & (sim[s] > thr_f64)
             if keep.sum() >= MAX_MATCHES:
                 print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)

@@ -89,14 +89,14 @@ def load() -> ctypes.CDLL:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ref, w, h
                 ctypes.c_void_p, ctypes.c_void_p,  # sum_tab, sq_tab
             ]
-            lib.focr_ncc_replay_u8.restype = None
-            lib.focr_ncc_replay_u8.argtypes = [
+            lib.focr_ncc_replay_pos_u8.restype = None
+            lib.focr_ncc_replay_pos_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ref, w, h
-                ctypes.c_void_p, ctypes.c_void_p,  # widx, wval
+                ctypes.c_void_p,  # pos
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # starts, ends, T
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # bank, nw, nh
                 ctypes.c_void_p, ctypes.c_void_p,  # s_n, s2_n
-                ctypes.c_double, ctypes.c_int64, ctypes.c_int64,  # thr, stride, WW
+                ctypes.c_double, ctypes.c_int64,  # thr, row_len
                 ctypes.c_int64,  # max_matches
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out x/y/sim
                 ctypes.c_void_p, ctypes.c_void_p,  # counts, warn

@@ -122,22 +122,20 @@ def build_tables(inv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def replay_group(
     inv: np.ndarray,  # [H, W] u8 inverted page
-    widx: np.ndarray,  # [Nw] i32 needle-local word indices (kept only)
-    wval: np.ndarray,  # [Nw] u32 packed bits
-    starts: np.ndarray,  # [T] i64 word-range start per needle
-    ends: np.ndarray,  # [T] i64 word-range end per needle
+    pos: np.ndarray,  # [N] i32 needle-local linear candidate positions
+    starts: np.ndarray,  # [T] i64 candidate-range start per needle
+    ends: np.ndarray,  # [T] i64 candidate-range end per needle
     bank: np.ndarray,  # [T, nh, nw] u8
     s_n: np.ndarray,  # [T] i64
     s2_n: np.ndarray,  # [T] i64
     thr_f64: float,
-    stride: int,
-    words_per_row: int,
+    row_len: int,  # padded window-row length W1 (pos = y*W1 + x)
     max_matches: int,
 ):
-    """Native exact-f64 replay of the device candidate bitmask.
+    """Native exact-f64 replay of the device candidate positions.
 
     Returns (out_x, out_y, out_sim, counts, warn): per-needle hits live at
-    out[32*starts[t] : 32*starts[t] + counts[t]], scan order, capped at
+    out[starts[t] : starts[t] + counts[t]], scan order, capped at
     max_matches with the reference's WARN semantics. Window stats are
     recomputed per candidate from the page bytes (exact; no integral
     tables needed — see win_stats in ncc_kernel.cpp).
@@ -147,29 +145,27 @@ def replay_group(
     T = len(starts)  # needles to replay (callers may slice off suspects)
     assert len(ends) == T and len(bank) >= T
     inv = np.ascontiguousarray(inv)
-    widx = np.ascontiguousarray(widx, dtype=np.int32)
-    wval = np.ascontiguousarray(wval, dtype=np.uint32)
+    pos = np.ascontiguousarray(pos, dtype=np.int32)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
     bank = np.ascontiguousarray(bank)
     s_n = np.ascontiguousarray(s_n, dtype=np.int64)
     s2_n = np.ascontiguousarray(s2_n, dtype=np.int64)
-    cap = 32 * max(len(widx), 1)
+    cap = max(len(pos), 1)
     out_x = np.empty(cap, dtype=np.int32)
     out_y = np.empty(cap, dtype=np.int32)
     out_sim = np.empty(cap, dtype=np.float32)
     counts = np.zeros(T, dtype=np.int32)
     warn = np.zeros(T, dtype=np.uint8)
-    lib.focr_ncc_replay_u8(
+    lib.focr_ncc_replay_pos_u8(
         inv.ctypes.data_as(ctypes.c_void_p), inv.shape[1], inv.shape[0],
-        widx.ctypes.data_as(ctypes.c_void_p),
-        wval.ctypes.data_as(ctypes.c_void_p),
+        pos.ctypes.data_as(ctypes.c_void_p),
         starts.ctypes.data_as(ctypes.c_void_p),
         ends.ctypes.data_as(ctypes.c_void_p), T,
         bank.ctypes.data_as(ctypes.c_void_p), n_w, n_h,
         s_n.ctypes.data_as(ctypes.c_void_p),
         s2_n.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_double(thr_f64), stride, words_per_row, max_matches,
+        ctypes.c_double(thr_f64), row_len, max_matches,
         out_x.ctypes.data_as(ctypes.c_void_p),
         out_y.ctypes.data_as(ctypes.c_void_p),
         out_sim.ctypes.data_as(ctypes.c_void_p),

@@ -210,11 +210,11 @@ inline void win_stats(const uint8_t* ref, int64_t r_w, const uint8_t* needle,
 template <int NW>
 void replay_impl(
     const uint8_t* ref, int64_t r_w, int64_t r_h,
-    const int32_t* widx, const uint32_t* wval,
+    const int32_t* pos,
     const int64_t* starts, const int64_t* ends, int64_t n_needles,
     const uint8_t* bank, int64_t n_w, int64_t n_h,
     const int64_t* s_n_arr, const int64_t* s2_n_arr,
-    double threshold, int64_t stride, int64_t words_per_row,
+    double threshold, int64_t row_len,
     int64_t max_matches,
     int32_t* out_x, int32_t* out_y, float* out_sim,
     int32_t* out_counts, uint8_t* out_warn) {
@@ -228,7 +228,7 @@ void replay_impl(
         const double norm2_n =
             static_cast<double>(s2_n_arr[t]) - s_n * s_n / nd;
         const double rnorm_n = 1.0 / std::sqrt(norm2_n);
-        int64_t off = 32 * starts[t];
+        const int64_t off = starts[t];
         int64_t emitted = 0;
         int64_t kept = 0;
         // two-phase chunking: gather integer stats for a block of
@@ -262,25 +262,19 @@ void replay_impl(
             }
             nc = 0;
         };
-        for (int64_t w = starts[t]; w < ends[t]; ++w) {
-            const int64_t lin = static_cast<int64_t>(widx[w]) % stride;
-            const int64_t y = lin / words_per_row;
-            const int64_t xbase = (lin % words_per_row) * 32;
-            uint32_t bits = wval[w];
-            while (bits) {
-                const int b = __builtin_ctz(bits);
-                bits &= bits - 1;
-                const int64_t x = xbase + b;
-                int64_t acc, sp, s2p;
-                win_stats<NW>(ref, r_w, needle, n_h, n_w, y, x,
-                              &acc, &sp, &s2p);
-                cx[nc] = static_cast<int32_t>(x);
-                cy[nc] = static_cast<int32_t>(y);
-                accd[nc] = static_cast<double>(acc);  // exact: < 2^53
-                spb[nc] = static_cast<double>(sp);
-                s2pb[nc] = static_cast<double>(s2p);
-                if (++nc == CH) flush();
-            }
+        for (int64_t c = starts[t]; c < ends[t]; ++c) {
+            const int64_t lin = static_cast<int64_t>(pos[c]);
+            const int64_t y = lin / row_len;
+            const int64_t x = lin - y * row_len;
+            int64_t acc, sp, s2p;
+            win_stats<NW>(ref, r_w, needle, n_h, n_w, y, x,
+                          &acc, &sp, &s2p);
+            cx[nc] = static_cast<int32_t>(x);
+            cy[nc] = static_cast<int32_t>(y);
+            accd[nc] = static_cast<double>(acc);  // exact: < 2^53
+            spb[nc] = static_cast<double>(sp);
+            s2pb[nc] = static_cast<double>(s2p);
+            if (++nc == CH) flush();
         }
         flush();
         out_counts[t] = static_cast<int32_t>(emitted);
@@ -291,35 +285,36 @@ void replay_impl(
 
 extern "C" {
 
-// Exact f64 replay of the device candidate bitmask (the host half of the
-// Pallas path, models/ncc.py::_pallas_group): for every set bit of every
-// compacted mask word, recompute the window's integer acc/sum/sumsq
-// directly from the page bytes (win_stats above — exact, and identical to
-// the reference's `_nz` integral lookups on the search domain), and apply
-// the reference's f64 similarity formula (ncc.cpp:206-215, same
-// association/order), emitting per-needle hits in scan order with the
-// MAX_MATCHES truncation (ncc.cpp:222-229).
+// Exact f64 replay of the device candidate positions (the host half of the
+// Pallas path, models/ncc.py::_pallas_group): for every compacted candidate
+// position, recompute the window's integer acc/sum/sumsq directly from the
+// page bytes (win_stats above — exact, and identical to the reference's
+// `_nz` integral lookups on the search domain), and apply the reference's
+// f64 similarity formula (ncc.cpp:206-215, same association/order),
+// emitting per-needle hits in scan order with the MAX_MATCHES truncation
+// (ncc.cpp:222-229).
 //
-// Words must be the ascending NEEDLE-LOCAL compaction the device returns
-// (grouped by needle); `starts`/`ends` give each needle's word range.
-// Outputs are written at fixed per-needle offsets 32*starts[t] (capacity:
-// one hit per bit), so needles parallelize independently (OpenMP).
-void focr_ncc_replay_u8(
+// Positions are needle-LOCAL linear indices lin = y*row_len + x in the
+// ascending needle-grouped order the device returns; `starts`/`ends` give
+// each needle's candidate range. Outputs are written at fixed per-needle
+// offsets starts[t] (capacity: one hit per candidate), so needles
+// parallelize independently (OpenMP).
+void focr_ncc_replay_pos_u8(
     const uint8_t* ref, int64_t r_w, int64_t r_h,
-    const int32_t* widx, const uint32_t* wval,
+    const int32_t* pos,
     const int64_t* starts, const int64_t* ends, int64_t n_needles,
     const uint8_t* bank, int64_t n_w, int64_t n_h,
     const int64_t* s_n_arr, const int64_t* s2_n_arr,
-    double threshold, int64_t stride, int64_t words_per_row,
+    double threshold, int64_t row_len,
     int64_t max_matches,
     int32_t* out_x, int32_t* out_y, float* out_sim,
     int32_t* out_counts, uint8_t* out_warn) {
     switch (n_w) {
 #define FOCR_REPLAY_CASE(NW)                                              \
     case NW:                                                              \
-        replay_impl<NW>(ref, r_w, r_h, widx, wval, starts, ends,          \
+        replay_impl<NW>(ref, r_w, r_h, pos, starts, ends,                 \
                         n_needles, bank, n_w, n_h, s_n_arr, s2_n_arr,     \
-                        threshold, stride, words_per_row, max_matches,    \
+                        threshold, row_len, max_matches,                  \
                         out_x, out_y, out_sim, out_counts, out_warn);     \
         break;
         FOCR_REPLAY_CASE(4)
@@ -337,9 +332,9 @@ void focr_ncc_replay_u8(
         FOCR_REPLAY_CASE(16)
 #undef FOCR_REPLAY_CASE
         default:
-            replay_impl<0>(ref, r_w, r_h, widx, wval, starts, ends,
+            replay_impl<0>(ref, r_w, r_h, pos, starts, ends,
                            n_needles, bank, n_w, n_h, s_n_arr, s2_n_arr,
-                           threshold, stride, words_per_row, max_matches,
+                           threshold, row_len, max_matches,
                            out_x, out_y, out_sim, out_counts, out_warn);
     }
 }

@@ -167,7 +167,7 @@ def _candidates_impl(
     threshold: jax.Array,  # f32 scalar
     nw: int,
     nh: int,
-    capw: int,
+    caph: int,
     eps: float,
     interpret: bool,
 ):
@@ -264,11 +264,10 @@ def _candidates_impl(
             kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, img_t.shape[-1],
             interpret, thr_arr, img_t, ndmr, sp_t, s2p_t, rtn, sn_n, gmat,
         )
-    return _compact_rank(mask_bytes, B, T, Tp, Hs8, WW, capw)
+    return _compact_hits(mask_bytes, B, T, Tp, Hs8, WB, caph)
 
 
-_SUB = 32  # rank-compaction L0 granularity: words per sub-block
-_NB = 64  # sub-blocks per L1 block (block = _SUB * _NB = 2048 words)
+_RPB = 128  # rank-compaction block granularity: mask rows per block
 
 
 def _rows(mat: jax.Array, idx: jax.Array) -> jax.Array:
@@ -280,80 +279,82 @@ def _rows(mat: jax.Array, idx: jax.Array) -> jax.Array:
 
 def _triu_cum(rows: jax.Array, tri: jax.Array) -> jax.Array:
     """Inclusive prefix sums over the minor axis as ONE small MXU matmul
-    (cum[j] = Σ_{k<=j} rows[k] = rows @ upper-triangular ones). Exact: counts
-    are integers <= _SUB * _NB = 2048 < 2^24, bf16 inputs (values <= 32 are
-    exact) accumulate in f32. XLA's cumsum would instead run log(n)
-    reduce-window passes over the gathered plane — measured ~10x slower."""
+    (cum[j] = Σ_{k<=j} rows[k] = rows @ upper-triangular ones). Exact for
+    integer inputs: bf16 operands are exact for values <= 256, and the f32
+    HIGHEST-precision path (hi/lo bf16 split) is exact for any integer with
+    <= 16 significant bits against a 0/1 matrix; sums stay < 2^24 and
+    accumulate in f32. XLA's cumsum would instead run log(n) reduce-window
+    passes over the gathered plane — measured ~10x slower."""
+    if rows.dtype == jnp.bfloat16:
+        return jnp.dot(rows, tri, preferred_element_type=jnp.float32)
     return jnp.dot(
-        rows.astype(jnp.bfloat16), tri, preferred_element_type=jnp.float32
+        rows.astype(jnp.float32), tri.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
-def _compact_rank(
+def _compact_hits(
     mask_bytes: jax.Array,  # [B, Hs8, Tp, WB] u8 — kernel output, y-major
-    B: int, T: int, Tp: int, Hs8: int, WW: int, capw: int,
+    B: int, T: int, Tp: int, Hs8: int, WB: int, caph: int,
 ):
-    """Exact first-capw nonzero-word compaction by hierarchical rank.
+    """Exact first-caph candidate-BIT compaction by hierarchical rank.
 
-    Selects, per page, the first capw NONZERO 32-bit mask words in global
+    Selects, per page, the first caph SET BITS of the mask plane in global
     (needle, scan) order — the reference's scan order (ncc.cpp:98-100 per
-    needle; needles iterated offsets-outer, ncc.rs:587-655) — and gathers
-    their packed bits, without ever materializing the dense i32 word plane.
+    needle; needles iterated offsets-outer, ncc.rs:587-655) — and returns
+    each as a needle-local linear position, without ever materializing a
+    dense index plane. Per-HIT positions (4 bytes each) replace the previous
+    per-WORD (u16 index + u32 bits = 6 byte) wire format: the dense corpus
+    measures ~1.07 set bits per nonzero word, so this is ~1.6x less wire on
+    the device->host fetch — the pipeline's dominant off-chip cost — and the
+    host replay consumes positions directly instead of walking bit masks.
     TPU-first design notes: stream compaction via top_k / sort / full-plane
     cumsum costs 150-400ms per 32-page dense wave (TopK cliffs above k~32,
     sorts are comparator networks, XLA cumsum is log-n reduce-window
-    passes); this formulation uses only single-pass sums, one tiny
-    searchsorted, two small row gathers, and two [64,64]-ish triangular
-    matmuls — every pass either touches the 4x-smaller flag plane once or
-    touches capw-sized data.
+    passes); this formulation uses only single-pass popcount sums, fused
+    compare-counts, TWO K-sized row gathers (one fewer than the word-level
+    scheme — per-slot gather issue cost, not row width, dominates on TPU),
+    and small triangular matmuls.
 
-      L2  block totals (2048 words/block) -> cumsum over ~600 blocks,
-          searchsorted locates each output slot's owning block
-      L1  per-block sub-totals (64 x 32-word sub-blocks), gathered per slot,
-          triangular-matmul prefix sums -> rank within block
-      L0  the 32 word-flags of the owning sub-block, same trick -> word
+      L2  block totals (_RPB mask rows/block) -> cumsum over ~1400 blocks,
+          fused compare-count locates each output slot's owning block
+      L1  per-block row popcounts, gathered per slot [K, _RPB],
+          triangular-matmul prefix sums -> owning mask row (t, y)
+      L0  the owning row's RAW BYTES gathered straight from the kernel's
+          y-major plane [K, WB] (index arithmetic, no transpose copy);
+          per-byte popcounts + the same matmul trick -> owning byte
+      L-1 the owning byte's 8 bits, unpacked in-register -> bit
 
-    The selected word's VALUE is then four u8 gathers straight from the
-    kernel's y-major byte plane (index arithmetic maps the t-major global
-    word index to its byte row), so the bytes->words pack and the [B, T,
-    Hs8, WB] transpose of the old scheme disappear entirely.
-
-    Returns (idx [B, capw] u16|i32 LOCAL word index within its needle
-    (u16 whenever a needle's word span Hs8*WW fits; 0 padded — validity is
-    positional: entry j is real iff j < min(nz_words, capw)), vals [B, capw]
-    i32, wcnt [B, T] i32 exact nonzero-word count per needle (so the host
-    recovers each needle's span without a sentinel scan), nz_words [B] i32).
-    The local-u16 + counts form (6 bytes/word) exists because the compacted
-    buffer's device->host fetch is the dense-corpus pipeline's dominant
-    off-chip cost — 25% less wire than global i32 indices, and the needle
-    split comes along for free. Exact for every population; overflow
-    (nz_words > capw) remains suffix-truncation, handled by the caller's
-    capw redo.
+    Returns (pos [B, caph] i32 — needle-LOCAL linear bit position
+    y*(WB*8) + x, ascending per needle = scan order; 0 padded — validity is
+    positional: entry j is real iff j < min(nz_hits, caph); hcnt [B, T] i32
+    exact candidate count per needle (cap-independent, so truncation is
+    detectable per needle); nz_hits [B] i32 = hcnt.sum()). Exact for every
+    population; overflow (nz_hits > caph) remains suffix-truncation, handled
+    by the caller's caph redo.
     """
-    # word-nonzero flags in t-major order: flag[b, t, y, w] = any of word's 4
-    # bytes nonzero. One pass over the byte plane + a 4x-smaller transpose.
-    mb = mask_bytes.reshape(B, Hs8, Tp, WW, 4)
-    wf_y = mb.max(axis=4) != 0  # [B, Hs8, Tp, WW] bool
-    wf = jnp.swapaxes(wf_y[:, :, :T], 1, 2)  # [B, T, Hs8, WW]
-    wcnt = wf.sum(axis=(2, 3), dtype=jnp.int32)  # [B, T] exact words/needle
-    M = T * Hs8 * WW
-    BLK = _SUB * _NB
-    Mp = ((M + BLK - 1) // BLK) * BLK
-    wfr = wf.reshape(B, M)
-    if Mp != M:  # zero flags in the pad zone: never selected
-        wfr = jnp.pad(wfr, ((0, 0), (0, Mp - M)))
-    nsub = Mp // _SUB
-    nblk = Mp // BLK
-    s1 = wfr.reshape(B, nsub, _SUB).sum(axis=2, dtype=jnp.int32)  # [B, nsub]
-    s2 = s1.reshape(B, nblk, _NB).sum(axis=2)  # [B, nblk]
+    pc = jax.lax.population_count(mask_bytes)  # [B, Hs8, Tp, WB] u8
+    # t-major per-row popcounts: rcnt[b, t, y] = candidates in mask row (t, y)
+    rcnt = jnp.swapaxes(
+        pc[:, :, :T].sum(axis=3, dtype=jnp.int32), 1, 2
+    )  # [B, T, Hs8], values <= WB*8
+    hcnt = rcnt.sum(axis=2, dtype=jnp.int32)  # [B, T] exact hits/needle
+    M = T * Hs8  # t-major mask-row count
+    Mp = ((M + _RPB - 1) // _RPB) * _RPB
+    rr = rcnt.reshape(B, M)
+    if Mp != M:  # zero counts in the pad zone: never selected
+        rr = jnp.pad(rr, ((0, 0), (0, Mp - M)))
+    nblk = Mp // _RPB
+    s2 = rr.reshape(B, nblk, _RPB).sum(axis=2)  # [B, nblk] block totals
 
     c2 = jnp.cumsum(s2, axis=1)  # [B, nblk] — tiny
-    nz_words = c2[:, -1]
+    nz_hits = c2[:, -1]
 
-    K = capw
+    K = caph
     p = jnp.arange(K, dtype=jnp.int32)
     # owning block: first block whose inclusive total exceeds p, i.e.
-    # #{j : c2[j] <= p} — a fused broadcast compare-count over the ~600-row
+    # #{j : c2[j] <= p} — a fused broadcast compare-count over the ~1400-row
     # block table instead of jnp.searchsorted (XLA lowers the vmapped
     # binary search as a gather-per-probe while loop: measured 218ms per
     # 32-page dense wave vs ~20ms for the fused compare-reduce). A
@@ -365,53 +366,60 @@ def _compact_rank(
     # ONE gather from the exclusive-prefix table (c2 − s2 is elementwise on
     # the tiny block table) instead of two K-sized take_along_axis calls
     before2 = jnp.take_along_axis(c2 - s2, blk, axis=1)
-    j2 = p[None] - before2  # rank within block, valid where p < nz_words
+    j2 = p[None] - before2  # rank within block, valid where p < nz_hits
 
-    tri_nb = jnp.asarray(np.triu(np.ones((_NB, _NB), np.float32)))
-    tri_sub = jnp.asarray(np.triu(np.ones((_SUB, _SUB), np.float32)))
-
-    rows1 = _rows(s1.reshape(B, nblk, _NB), blk)  # [B, K, _NB] i32
-    cum1 = _triu_cum(rows1, tri_nb.astype(jnp.bfloat16))  # [B, K, _NB] f32
+    # L1: owning mask row within the block. Row totals <= WB*8 exceed bf16's
+    # exact-integer range, so this level's prefix matmul runs f32/HIGHEST.
+    tri_rpb = jnp.asarray(np.triu(np.ones((_RPB, _RPB), np.float32)))
+    rows1 = _rows(rr.reshape(B, nblk, _RPB), blk)  # [B, K, _RPB] i32
+    cum1 = _triu_cum(rows1, tri_rpb)  # [B, K, _RPB] f32
     j2f = j2.astype(jnp.float32)
-    sub = (cum1 <= j2f[:, :, None]).sum(axis=2, dtype=jnp.int32)
-    sub = jnp.minimum(sub, _NB - 1)
-    # exclusive-prefix table (elementwise on the already-materialized cum1)
-    # halves the per-slot take_along_axis gathers here too
+    rin = (cum1 <= j2f[:, :, None]).sum(axis=2, dtype=jnp.int32)
+    rin = jnp.minimum(rin, _RPB - 1)
     before1 = jnp.take_along_axis(
-        cum1 - rows1.astype(jnp.float32), sub[:, :, None], axis=2
+        cum1 - rows1.astype(jnp.float32), rin[:, :, None], axis=2
     )[:, :, 0]
-    j1 = j2f - before1  # rank within sub-block
+    j1 = j2f - before1  # rank within mask row (f32 integer, < WB*8)
 
-    sub_id = blk * _NB + sub  # [B, K] global sub-block index
-    rows0 = _rows(wfr.reshape(B, nsub, _SUB), sub_id)  # [B, K, _SUB] bool
-    cum0 = _triu_cum(rows0, tri_sub.astype(jnp.bfloat16))
-    loc = (cum0 <= j1[:, :, None]).sum(axis=2, dtype=jnp.int32)
-    loc = jnp.minimum(loc, _SUB - 1)
-    g = sub_id * _SUB + loc  # [B, K] global word index, t-major
+    grow = blk * _RPB + rin  # [B, K] global t-major mask-row index
+    t = grow // Hs8
+    y = grow - t * Hs8
+    # L0: the owning row's raw bytes, gathered from the natural y-major
+    # plane (row (t, y) lives at y-major row y*Tp + t — index arithmetic
+    # replaces a 16MB/page transposed copy). Pad-zone rows (only where
+    # found == False) can map past T-1: clamp so the discarded gather stays
+    # in bounds.
+    row_idx = jnp.minimum(y * Tp + t, Hs8 * Tp - 1)
+    raw = _rows(mask_bytes.reshape(B, Hs8 * Tp, WB), row_idx)  # [B, K, WB] u8
+    pcr = jax.lax.population_count(raw)  # values <= 8: bf16-exact
+    tri_wb = jnp.asarray(np.triu(np.ones((WB, WB), np.float32)))
+    cum0 = _triu_cum(pcr.astype(jnp.bfloat16), tri_wb.astype(jnp.bfloat16))
+    byte = (cum0 <= j1[:, :, None]).sum(axis=2, dtype=jnp.int32)
+    byte = jnp.minimum(byte, WB - 1)
+    before0 = jnp.take_along_axis(
+        cum0 - pcr.astype(jnp.float32), byte[:, :, None], axis=2
+    )[:, :, 0]
+    jb = (j1 - before0).astype(jnp.int32)  # rank within byte, < 8
 
-    # value fetch: map t-major g -> the y-major byte plane's word row
-    hsww = Hs8 * WW
-    t = g // hsww
-    rem = g - t * hsww
-    y = rem // WW
-    w = rem - y * WW
-    # pad-zone g (only where found == False) can map past T-1: clamp the row
-    # so the discarded gather stays in bounds
-    word_row = jnp.minimum((y * Tp + t) * WW + w, Hs8 * Tp * WW - 1)
-    mrows = mask_bytes.reshape(B, Hs8 * Tp * WW, 4)
-    b4 = _rows(mrows, word_row).astype(jnp.int32)  # [B, K, 4]
-    vals = b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16) | (b4[..., 3] << 24)
+    # L-1: the j-th set bit of the owning byte, in-register (no gather):
+    # byte g packs x in [8g, 8g+8) with bit value 2^(x%8), so ascending bit
+    # = ascending x = scan order
+    v = jnp.take_along_axis(raw, byte[:, :, None], axis=2).astype(jnp.int32)
+    bits = (v >> jnp.arange(8, dtype=jnp.int32)[None, None, :]) & 1  # [B,K,8]
+    tri8 = jnp.asarray(np.triu(np.ones((8, 8), np.float32)))
+    cumb = _triu_cum(bits.astype(jnp.bfloat16), tri8.astype(jnp.bfloat16))
+    bit = (cumb <= jb.astype(jnp.float32)[:, :, None]).sum(
+        axis=2, dtype=jnp.int32
+    )
+    bit = jnp.minimum(bit, 7)
 
-    found = p[None] < jnp.minimum(nz_words, jnp.int32(K))[:, None]
-    local = jnp.where(found, rem, 0)
-    if hsww <= 2**16:  # local index fits u16: half the idx wire bytes
-        local = local.astype(jnp.uint16)
-    vals = jnp.where(found, vals, 0)
-    return local, vals, wcnt, nz_words
+    found = p[None] < jnp.minimum(nz_hits, jnp.int32(K))[:, None]
+    pos = jnp.where(found, y * jnp.int32(WB * 8) + byte * 8 + bit, 0)
+    return pos, hcnt, nz_hits
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
+    jax.jit, static_argnames=("nw", "nh", "caph", "eps", "interpret")
 )
 def ncc_candidates_pallas(
     img: jax.Array,  # [H, W] inverted page (u8/i32 values 0..255)
@@ -422,44 +430,41 @@ def ncc_candidates_pallas(
     *,
     nw: int,
     nh: int,
-    capw: int,
+    caph: int,
     eps: float = 1e-3,
     interpret: bool = False,
 ):
     """Pallas-backed candidate search for one needle-size group, one page.
 
-    Returns (word_idx, word_val, word_cnt, nz_words):
-      word_idx [capw] u16|i32 — LOCAL word index within its needle (word w
-               covers window columns x in [(w % WW)*32, …+32) of row
-               y = w // WW, where WW = W1/32 and W1 is the padded
-               window-column count = word_stride(W, nw) * 32). The first
-               min(nz_words, capw) entries are the first capw nonzero words
-               in global (needle, scan) order; entry ownership comes from
-               word_cnt (needle t owns entries [Σ_{<t} wcnt, …+wcnt[t]),
-               clipped to capw). u16 whenever a needle's word span Hs8*WW
-               fits 16 bits; 0 padded past the valid prefix.
-      word_val [capw] i32 — the packed bits of each selected word
-      word_cnt [T] i32    — EXACT nonzero-word count per needle (cap-
-               independent, so overflow truncation is detectable per needle)
-      nz_words [1] i32    — total nonzero words (= word_cnt.sum()); overflow
-               iff nz_words > capw, handled by the caller's capw redo. The
-               compaction is exact first-capw (hierarchical rank, no lossy
-               level), so suffix truncation is the ONLY loss mode.
+    Returns (pos, hcnt, nz_hits):
+      pos  [caph] i32 — needle-LOCAL linear candidate positions, scan order:
+           pos = y*W1 + x with W1 = word_stride(W, nw)*32 (the padded
+           window-column count), covering window (x, y) of the owning
+           needle. The first min(nz_hits, caph) entries are the first caph
+           candidates in global (needle, scan) order; entry ownership comes
+           from hcnt (needle t owns entries [Σ_{<t} hcnt, …+hcnt[t]),
+           clipped to caph). 0 padded past the valid prefix.
+      hcnt [T] i32    — EXACT candidate count per needle (cap-independent,
+           so overflow truncation is detectable per needle)
+      nz_hits [1] i32 — total candidates (= hcnt.sum()); overflow iff
+           nz_hits > caph, handled by the caller's caph redo. The compaction
+           is exact first-caph (hierarchical rank, no lossy level), so
+           suffix truncation is the ONLY loss mode.
 
-    One global buffer instead of a [T, capw] plane cuts the device->host
-    fetch ~T× (the per-needle padding is almost entirely empty), and the
-    local-u16 index form another 25% — that fetch is the dominant per-page
-    cost off-chip. The caller unpacks bits host-side (scan order: ascending
-    word, ascending bit) and replays the exact f64 similarity per candidate.
+    One global per-hit buffer instead of a [T, cap] plane cuts the
+    device->host fetch ~T× (the per-needle padding is almost entirely
+    empty), and 4-byte positions beat the earlier 6-byte word encoding —
+    that fetch is the dominant per-page cost off-chip. The caller replays
+    the exact f64 similarity per candidate position.
     """
-    widx, wval, wcnt, nzw = _candidates_impl(
-        img[None], needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
+    pos, hcnt, nzh = _candidates_impl(
+        img[None], needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret
     )
-    return widx[0], wval[0], wcnt[0], nzw
+    return pos[0], hcnt[0], nzh
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "capw", "eps", "interpret")
+    jax.jit, static_argnames=("nw", "nh", "caph", "eps", "interpret")
 )
 def ncc_candidates_pallas_batch(
     imgs: jax.Array,  # [B, H, W] inverted pages (u8/i32 values 0..255)
@@ -470,21 +475,21 @@ def ncc_candidates_pallas_batch(
     *,
     nw: int,
     nh: int,
-    capw: int,
+    caph: int,
     eps: float = 1e-3,
     interpret: bool = False,
 ):
     """Batched-page variant of ncc_candidates_pallas: one kernel dispatch
     sweeps a whole wave of same-shape pages (page axis = outermost grid dim)
-    and the compacted word buffers come back as ONE [B, capw] pair, so a wave
-    costs one dispatch + one fetch instead of B of each — the off-chip
+    and the compacted position buffers come back as ONE [B, caph] array, so a
+    wave costs one dispatch + one fetch instead of B of each — the off-chip
     round-trip tax was the dense-corpus pipeline's long pole.
 
-    Returns (word_idx [B, capw], word_val [B, capw], word_cnt [B, T],
-    nz_words [B]); per-page semantics identical to ncc_candidates_pallas.
+    Returns (pos [B, caph], hcnt [B, T], nz_hits [B]); per-page semantics
+    identical to ncc_candidates_pallas.
     """
     return _candidates_impl(
-        imgs, needles, s_n, s2_n, threshold, nw, nh, capw, eps, interpret
+        imgs, needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret
     )
 
 
@@ -524,12 +529,6 @@ def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, Wp,
 def word_stride(W: int, nw: int) -> int:
     """Mask words per row (ceil of the window-column count / 32)."""
     return (W - nw + 1 + 31) // 32
-
-
-def words_per_needle(H: int, W: int, nw: int, nh: int) -> int:
-    """Global-index stride between needles in the compacted word buffer."""
-    Hs8 = ((H - nh + 1 + 7) // 8) * 8
-    return Hs8 * word_stride(W, nw)
 
 
 def _vmem_rows(H: int, W: int, nw: int, nh: int) -> int:

@@ -152,10 +152,10 @@ def test_native_replay_matches_numpy_replay(mono_font_path):
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("capw,max_matches", [(32768, 2), (96, 1024)])
-def test_native_replay_cap_warn_and_overflow(mono_font_path, monkeypatch, capw, max_matches):
+@_pytest.mark.parametrize("caph,max_matches", [(49152, 2), (96, 1024)])
+def test_native_replay_cap_warn_and_overflow(mono_font_path, monkeypatch, caph, max_matches):
     """Dense low-threshold page under (a) a tiny MAX_MATCHES (exercises the
-    scan-order truncation + WARN emission) and (b) a small global word cap
+    scan-order truncation + WARN emission) and (b) a small global candidate cap
     (exercises native-replay/host-fallback coexistence): results must stay
     bit-identical to the NumPy replay."""
     import numpy as np
@@ -171,8 +171,8 @@ def test_native_replay_cap_warn_and_overflow(mono_font_path, monkeypatch, capw, 
     if not ncc_cpu.available():
         pytest.skip("native toolchain unavailable")
     monkeypatch.setattr(ncc_mod, "MAX_MATCHES", max_matches)
-    monkeypatch.setattr(ncc_mod, "_CAPW_START", capw)
-    monkeypatch.setattr(ncc_mod, "_CAPW_MAX", capw)
+    monkeypatch.setattr(ncc_mod, "_CAPH_START", caph)
+    monkeypatch.setattr(ncc_mod, "_CAPH_MAX", caph)
     face = Face(mono_font_path)
     ropts = RenderOptions(size=11.0)
     dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)

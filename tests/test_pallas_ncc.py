@@ -15,23 +15,16 @@ from focr_tpu.ops import ncc as ncc_ops
 from focr_tpu.ops import pallas_ncc
 
 
-def _unpack(widx, wval, wcnt, nzw, WW, t):
-    """Candidates of needle t from the compacted (local idx, bits, counts)
-    word buffer: needle t owns entries [Σ_{<t} wcnt, …+wcnt[t]), clipped to
-    the valid prefix min(nzw, capw)."""
-    nv = min(int(nzw), len(widx))
-    ends = np.cumsum(wcnt.astype(np.int64))
-    s = int(min(ends[t] - wcnt[t], nv))
+def _unpack(pos, hcnt, nzh, WW, t):
+    """Candidates of needle t from the compacted local-position buffer:
+    needle t owns entries [Σ_{<t} hcnt, …+hcnt[t]), clipped to the valid
+    prefix min(nzh, caph); each entry is y*W1 + x with W1 = WW*32."""
+    W1 = WW * 32
+    nv = min(int(nzh), len(pos))
+    ends = np.cumsum(hcnt.astype(np.int64))
+    s = int(min(ends[t] - hcnt[t], nv))
     e = int(min(ends[t], nv))
-    out = []
-    for wi, wv in zip(widx[s:e], wval[s:e]):
-        w = int(wi)
-        y = w // WW
-        xb = (w % WW) * 32
-        for b in range(32):
-            if (int(np.uint32(wv)) >> b) & 1:
-                out.append((y, xb + b))
-    return out
+    return [(int(p) // W1, int(p) % W1) for p in pos[s:e]]
 
 
 @pytest.mark.parametrize("seed,nh,nw", [(0, 7, 6), (1, 9, 13), (2, 4, 16), (3, 12, 8)])
@@ -47,10 +40,10 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
     thr = jnp.asarray(np.float32(0.8))
     assert pallas_ncc.pallas_supported(H, W, nw, nh, 0.8)
 
-    widx, wval, wcnt, nzw = jax.device_get(
+    pos, hcnt, nzh = jax.device_get(
         pallas_ncc.ncc_candidates_pallas(
             jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
-            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
+            jnp.asarray(s2), thr, nw=nw, nh=nh, caph=512, interpret=True,
         )
     )
     idx, acc, sp, s2p, cnt = jax.device_get(
@@ -61,10 +54,10 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
     )
     WW = pallas_ncc.word_stride(W, nw)
     W2 = W - nw
-    assert nzw[0] <= len(widx), "cap overflow would invalidate the comparison"
-    assert nzw[0] == wcnt.sum()
+    assert nzh[0] <= len(pos), "cap overflow would invalidate the comparison"
+    assert nzh[0] == hcnt.sum()
     for t in range(T):
-        cand = _unpack(widx, wval, wcnt, nzw[0], WW, t)
+        cand = _unpack(pos, hcnt, nzh[0], WW, t)
         xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
         # both are ε-supersets of the true accept set, exact-replayed on the
         # host; the Pallas kernel's f32 slack makes it the (slightly) wider
@@ -111,21 +104,20 @@ def test_pallas_batch_matches_single_pages():
     s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
     thr = jnp.asarray(np.float32(0.8))
 
-    bw, bv, bc, bz = jax.device_get(
+    bp, bc, bz = jax.device_get(
         pallas_ncc.ncc_candidates_pallas_batch(
             jnp.asarray(imgs), jnp.asarray(needles), jnp.asarray(s_n),
-            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
+            jnp.asarray(s2), thr, nw=nw, nh=nh, caph=512, interpret=True,
         )
     )
     for b in range(3):
-        sw, sv, sc, sz = jax.device_get(
+        sp_, sc, sz = jax.device_get(
             pallas_ncc.ncc_candidates_pallas(
                 jnp.asarray(imgs[b]), jnp.asarray(needles), jnp.asarray(s_n),
-                jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
+                jnp.asarray(s2), thr, nw=nw, nh=nh, caph=512, interpret=True,
             )
         )
-        np.testing.assert_array_equal(bw[b], sw)
-        np.testing.assert_array_equal(bv[b], sv)
+        np.testing.assert_array_equal(bp[b], sp_)
         np.testing.assert_array_equal(bc[b], sc)
         assert bz[b] == sz[0]
     assert bz[2] == 0 and bc[2].sum() == 0  # white page: no candidates
@@ -180,10 +172,10 @@ def test_pallas_banded_mask_matches_xla_candidates():
     s_n = needles.reshape(T, -1).astype(np.int64).sum(1)
     s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
     thr = jnp.asarray(np.float32(0.8))
-    widx, wval, wcnt, nzw = jax.device_get(
+    pos, hcnt, nzh = jax.device_get(
         pallas_ncc.ncc_candidates_pallas(
             jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
-            jnp.asarray(s2), thr, nw=nw, nh=nh, capw=512, interpret=True,
+            jnp.asarray(s2), thr, nw=nw, nh=nh, caph=512, interpret=True,
         )
     )
     idx, acc, sp, s2p, cnt = jax.device_get(
@@ -194,11 +186,11 @@ def test_pallas_banded_mask_matches_xla_candidates():
     )
     WW = pallas_ncc.word_stride(W, nw)
     W2 = W - nw
-    assert nzw[0] <= len(widx)
-    assert nzw[0] == wcnt.sum()
+    assert nzh[0] <= len(pos)
+    assert nzh[0] == hcnt.sum()
     found_any = 0
     for t in range(T):
-        cand = _unpack(widx, wval, wcnt, nzw[0], WW, t)
+        cand = _unpack(pos, hcnt, nzh[0], WW, t)
         xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
         found_any += len(xla)
         assert set(xla) <= set(cand), f"needle {t}: tiled kernel dropped candidates"
@@ -255,16 +247,16 @@ def test_pallas_unsupported_configs():
 
 
 def test_pallas_global_cap_overflow_falls_back(mono_font_path, monkeypatch):
-    """When the global word cap truncates, suspect needles go through the
-    exact host fallback — results still bit-identical to the oracle."""
+    """When the global candidate cap truncates, suspect needles go through
+    the exact host fallback — results still bit-identical to the oracle."""
     import focr_tpu.models.ncc as ncc_mod
     from focr_tpu.fonts.ft import Face
     from focr_tpu.io.synth import synthesize_page
     from focr_tpu.models.ncc import NccMatcher
     from focr_tpu.models.types import DecodeOptions, RenderOptions
 
-    monkeypatch.setattr(ncc_mod, "_CAPW_START", 2)  # force overflow
-    monkeypatch.setattr(ncc_mod, "_CAPW_MAX", 2)  # ...with no redo headroom
+    monkeypatch.setattr(ncc_mod, "_CAPH_START", 2)  # force overflow
+    monkeypatch.setattr(ncc_mod, "_CAPH_MAX", 2)  # ...with no redo headroom
     fallbacks = []
     orig = ncc_mod._host_searcher
 
@@ -286,18 +278,19 @@ def test_pallas_global_cap_overflow_falls_back(mono_font_path, monkeypatch):
     assert key(hp) == key(ho)
 
 
-def test_pallas_capw_bump_redo(mono_font_path, monkeypatch):
-    """A word-cap overflow below the ceiling re-dispatches once at a
-    1024-aligned cap sized to 1.25x the measured word count and remembers the
-    bump — results identical to the oracle, and the matcher's next dispatch
-    uses the larger cap directly (no further growth on the same page)."""
+def test_pallas_caph_bump_redo(mono_font_path, monkeypatch):
+    """A candidate-cap overflow below the ceiling re-dispatches once at a
+    1024-aligned cap sized to 1.25x the measured candidate count and
+    remembers the bump — results identical to the oracle, and the matcher's
+    next dispatch uses the larger cap directly (no further growth on the
+    same page)."""
     import focr_tpu.models.ncc as ncc_mod
     from focr_tpu.fonts.ft import Face
     from focr_tpu.io.synth import synthesize_page
     from focr_tpu.models.ncc import NccMatcher
     from focr_tpu.models.types import DecodeOptions, RenderOptions
 
-    monkeypatch.setattr(ncc_mod, "_CAPW_START", 2)  # overflows immediately
+    monkeypatch.setattr(ncc_mod, "_CAPH_START", 2)  # overflows immediately
     face = Face(mono_font_path)
     ropts = RenderOptions(size=11.0)
     dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
@@ -308,9 +301,9 @@ def test_pallas_capw_bump_redo(mono_font_path, monkeypatch):
     key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
     assert key(hp) == key(ho)
     # bump remembered: grown to a 1024-aligned cap covering the measured need
-    grown = dict(m._capw)
+    grown = dict(m._caph)
     assert grown and all(
-        2 < c <= ncc_mod._CAPW_MAX and c % 1024 == 0 for c in grown.values()
+        2 < c <= ncc_mod._CAPH_MAX and c % 1024 == 0 for c in grown.values()
     )
     assert key(m.get_hits(page)) == key(ho)  # second pass: bigger cap directly
-    assert m._capw == grown  # sized to need: the same page never re-grows
+    assert m._caph == grown  # sized to need: the same page never re-grows
