@@ -77,8 +77,8 @@ _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA pa
 # small (typical corpora need a few hundred candidates), auto-bump a group
 # on its first overflow (one exact device re-dispatch) to 1.25x measured
 # need, and remember the bumped size for subsequent pages.
-_CAPH_START = 4096  # 16KB fetch (4B/candidate: i32 local position)
-_CAPH_MAX = 49152  # 192KB fetch
+_CAPH_START = 4096  # 10KB fetch (2.5B/candidate: packed local position)
+_CAPH_MAX = 49152  # 120KB fetch
 
 _EMPTY = (
     np.zeros(0, np.int64),
@@ -669,11 +669,11 @@ class NccMatcher:
                         for pp in page_plans:
                             pp.append((grp, "empty", None))
                     elif kind == "pallas":
-                        pos, hcnt, nzh = next(it)
+                        lo, hi, hcnt, nzh = next(it)
                         for k, pp in enumerate(page_plans):
                             pp.append(
                                 (grp, "pallas",
-                                 (pos[k], hcnt[k], nzh[k : k + 1]))
+                                 (lo[k], hi[k], hcnt[k], nzh[k : k + 1]))
                             )
                     else:
                         for pp in page_plans:
@@ -896,9 +896,9 @@ class NccMatcher:
     ):
         """One dispatched size group: fetch the Pallas positions + host replay."""
         n = grp.nh * grp.nw
-        pos_a, hcnt, nzh = (np.asarray(o) for o in outs)
+        lo_a, hi_a, hcnt, nzh = (np.asarray(o) for o in outs)
         inv_u8 = tables.inv_u8
-        if int(nzh[0]) > pos_a.shape[0] and pos_a.shape[0] < _CAPH_MAX:
+        if int(nzh[0]) > lo_a.shape[0] and lo_a.shape[0] < _CAPH_MAX:
             # global candidate-cap overflow (suffix truncation — the rank
             # compaction is exact first-caph, so this is the only loss mode):
             # grow this group's caph to 1.25x the MEASURED candidate count
@@ -910,7 +910,7 @@ class NccMatcher:
             # cap sizes — then re-dispatch THIS page once (an exact device
             # redo beats per-needle host fallbacks). A denser later page
             # re-grows the same way.
-            need = max(int(nzh[0]), 2 * pos_a.shape[0])
+            need = max(int(nzh[0]), 2 * lo_a.shape[0])
             caph_new = min(_CAPH_MAX, -(-(need + (need >> 2)) // 1024) * 1024)
             # benign race under page-parallel collect: concurrent overflows
             # each redo exactly and last-write-wins on the cached cap; a
@@ -927,12 +927,13 @@ class NccMatcher:
                 else jax.device_put(inv_u8, device)
             )
             redo = ncc_ops_pallas_call(inv_dev, grp, dev, caph=caph_new)
-            pos_a, hcnt, nzh = (np.asarray(o) for o in jax.device_get(redo))
+            lo_a, hi_a, hcnt, nzh = (np.asarray(o) for o in jax.device_get(redo))
         W1 = pallas_ncc.word_stride(W, grp.nw) * 32  # pos = y*W1 + x
 
         T = len(grp.needle_ids)
-        caph = pos_a.shape[0]
+        caph = lo_a.shape[0]
         nv = min(int(nzh[0]), caph)  # valid prefix (0-padded past it)
+        pos_v = pallas_ncc.unpack_pos(lo_a, hi_a, nv)  # i32 [nv]
         # per-needle candidate spans from the exact counts (hcnt is
         # cap-independent, so truncation is detectable per needle)
         ends_all = np.cumsum(hcnt.astype(np.int64))
@@ -951,7 +952,7 @@ class NccMatcher:
 
             if ncc_cpu.available():  # toolchain gate; real bugs must raise
                 native = ncc_cpu.replay_group(
-                    inv_u8, pos_a[:nv],
+                    inv_u8, pos_v,
                     ws[:first_suspect], we[:first_suspect],
                     grp.bank, grp.s_n, grp.s2_n,
                     float(thr_f64), W1, MAX_MATCHES,
@@ -966,7 +967,7 @@ class NccMatcher:
             wins_sq = np.lib.stride_tricks.sliding_window_view(
                 tables.sq(), (grp.nh, grp.nw)
             )
-            lin = pos_a[:nv].astype(np.int64)
+            lin = pos_v.astype(np.int64)
             nid_c = np.searchsorted(ends_all, np.arange(nv), side="right")
             ys = lin // W1
             xs = lin % W1

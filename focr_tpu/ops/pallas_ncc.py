@@ -326,9 +326,10 @@ def _compact_hits(
           per-byte popcounts + the same matmul trick -> owning byte
       L-1 the owning byte's 8 bits, unpacked in-register -> bit
 
-    Returns (pos [B, caph] i32 — needle-LOCAL linear bit position
-    y*(WB*8) + x, ascending per needle = scan order; 0 padded — validity is
-    positional: entry j is real iff j < min(nz_hits, caph); hcnt [B, T] i32
+    Returns (pos_lo, pos_hi — the needle-LOCAL linear bit position
+    y*(WB*8) + x per slot, ascending per needle = scan order, split into the
+    packed wire format of _pack_pos; 0 padded — validity is positional:
+    entry j is real iff j < min(nz_hits, caph); hcnt [B, T] i32
     exact candidate count per needle (cap-independent, so truncation is
     detectable per needle); nz_hits [B] i32 = hcnt.sum()). Exact for every
     population; overflow (nz_hits > caph) remains suffix-truncation, handled
@@ -415,7 +416,48 @@ def _compact_hits(
 
     found = p[None] < jnp.minimum(nz_hits, jnp.int32(K))[:, None]
     pos = jnp.where(found, y * jnp.int32(WB * 8) + byte * 8 + bit, 0)
-    return pos, hcnt, nz_hits
+    return (*_pack_pos(pos, Hs8 * WB * 8), hcnt, nz_hits)
+
+
+def _pack_pos(pos: jax.Array, plane_bits: int) -> tuple[jax.Array, jax.Array]:
+    """Split i32 positions into (lo u16, hi) wire arrays — the d2h result
+    fetch is the dense-corpus pipeline's long pole (the tunnel's d2h
+    direction runs ~10x slower than h2d), so candidates ship at 2.5-4
+    bytes instead of 4. The format is static per config — unpack_pos
+    infers it from shapes/dtypes, nothing travels on the wire:
+      plane_bits <= 2^20: hi is a nibble (pos < 2^20), packed 2/byte
+                          -> 2.5 B/candidate
+      plane_bits <= 2^24: hi u8  -> 3 B/candidate
+      else:               hi u16 -> 4 B/candidate (no worse than i32)
+    """
+    K = pos.shape[-1]
+    lo = pos.astype(jnp.uint16)  # modular: exactly pos & 0xffff
+    hiv = jnp.right_shift(pos, 16)
+    if plane_bits <= (1 << 20) and K % 2 == 0:
+        h8 = hiv.astype(jnp.uint8)  # values < 16
+        hi = h8[..., 0::2] | (h8[..., 1::2] << 4)
+    elif plane_bits <= (1 << 24):
+        hi = hiv.astype(jnp.uint8)
+    else:
+        hi = hiv.astype(jnp.uint16)
+    return lo, hi
+
+
+def unpack_pos(lo: np.ndarray, hi: np.ndarray, nv: int) -> np.ndarray:
+    """Host decode of one page's packed candidate positions (see _pack_pos):
+    the first ``nv`` valid entries as i32 needle-local linear positions."""
+    K = lo.shape[0]
+    out = lo[:nv].astype(np.int32)
+    if nv == 0:
+        return out
+    if hi.dtype == np.uint8 and hi.shape[0] * 2 == K:  # nibble-packed
+        h = np.empty(nv, np.int32)
+        pairs = hi[: (nv + 1) // 2].astype(np.int32)
+        h[0::2] = pairs & 15
+        h[1::2] = pairs[: nv // 2] >> 4
+    else:
+        h = hi[:nv].astype(np.int32)
+    return out | (h << 16)
 
 
 @functools.partial(
@@ -436,14 +478,16 @@ def ncc_candidates_pallas(
 ):
     """Pallas-backed candidate search for one needle-size group, one page.
 
-    Returns (pos, hcnt, nz_hits):
-      pos  [caph] i32 — needle-LOCAL linear candidate positions, scan order:
-           pos = y*W1 + x with W1 = word_stride(W, nw)*32 (the padded
-           window-column count), covering window (x, y) of the owning
-           needle. The first min(nz_hits, caph) entries are the first caph
-           candidates in global (needle, scan) order; entry ownership comes
-           from hcnt (needle t owns entries [Σ_{<t} hcnt, …+hcnt[t]),
-           clipped to caph). 0 padded past the valid prefix.
+    Returns (pos_lo, pos_hi, hcnt, nz_hits):
+      pos_lo/pos_hi — PACKED needle-LOCAL linear candidate positions in scan
+           order (see _pack_pos for the 2.5-4 B/candidate wire format;
+           unpack_pos decodes): pos = y*W1 + x with W1 =
+           word_stride(W, nw)*32 (the padded window-column count), covering
+           window (x, y) of the owning needle. The first min(nz_hits, caph)
+           entries are the first caph candidates in global (needle, scan)
+           order; entry ownership comes from hcnt (needle t owns entries
+           [Σ_{<t} hcnt, …+hcnt[t]), clipped to caph). 0 padded past the
+           valid prefix.
       hcnt [T] i32    — EXACT candidate count per needle (cap-independent,
            so overflow truncation is detectable per needle)
       nz_hits [1] i32 — total candidates (= hcnt.sum()); overflow iff
@@ -453,14 +497,14 @@ def ncc_candidates_pallas(
 
     One global per-hit buffer instead of a [T, cap] plane cuts the
     device->host fetch ~T× (the per-needle padding is almost entirely
-    empty), and 4-byte positions beat the earlier 6-byte word encoding —
-    that fetch is the dominant per-page cost off-chip. The caller replays
-    the exact f64 similarity per candidate position.
+    empty), and packed 2.5-byte positions beat the earlier 6-byte word
+    encoding ~2.4× — that fetch is the dominant per-page cost off-chip. The
+    caller replays the exact f64 similarity per candidate position.
     """
-    pos, hcnt, nzh = _candidates_impl(
+    lo, hi, hcnt, nzh = _candidates_impl(
         img[None], needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret
     )
-    return pos[0], hcnt[0], nzh
+    return lo[0], hi[0], hcnt[0], nzh
 
 
 @functools.partial(
@@ -485,8 +529,8 @@ def ncc_candidates_pallas_batch(
     wave costs one dispatch + one fetch instead of B of each — the off-chip
     round-trip tax was the dense-corpus pipeline's long pole.
 
-    Returns (pos [B, caph], hcnt [B, T], nz_hits [B]); per-page semantics
-    identical to ncc_candidates_pallas.
+    Returns (pos_lo [B, ...], pos_hi [B, ...], hcnt [B, T], nz_hits [B]);
+    per-page semantics identical to ncc_candidates_pallas.
     """
     return _candidates_impl(
         imgs, needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret

@@ -15,16 +15,38 @@ from focr_tpu.ops import ncc as ncc_ops
 from focr_tpu.ops import pallas_ncc
 
 
-def _unpack(pos, hcnt, nzh, WW, t):
-    """Candidates of needle t from the compacted local-position buffer:
+def _unpack(lo, hi, hcnt, nzh, WW, t):
+    """Candidates of needle t from the packed local-position wire buffers:
     needle t owns entries [Σ_{<t} hcnt, …+hcnt[t]), clipped to the valid
     prefix min(nzh, caph); each entry is y*W1 + x with W1 = WW*32."""
     W1 = WW * 32
-    nv = min(int(nzh), len(pos))
+    nv = min(int(nzh), len(lo))
+    pos = pallas_ncc.unpack_pos(lo, hi, nv)
     ends = np.cumsum(hcnt.astype(np.int64))
     s = int(min(ends[t] - hcnt[t], nv))
     e = int(min(ends[t], nv))
     return [(int(p) // W1, int(p) % W1) for p in pos[s:e]]
+
+
+@pytest.mark.parametrize("plane_bits", [1 << 18, 1 << 22, 1 << 26])
+def test_pos_pack_roundtrip(plane_bits):
+    """_pack_pos/unpack_pos are lossless for every wire format tier (nibble-
+    packed hi, u8 hi, u16 hi) across the full position range of the tier."""
+    rng = np.random.default_rng(plane_bits)
+    K = 512
+    pos = np.sort(rng.integers(0, plane_bits, K)).astype(np.int32)
+    lo, hi = jax.device_get(pallas_ncc._pack_pos(jnp.asarray(pos), plane_bits))
+    assert lo.dtype == np.uint16
+    for nv in (0, 1, K - 1, K):
+        np.testing.assert_array_equal(
+            pallas_ncc.unpack_pos(lo, hi, nv), pos[:nv]
+        )
+    if plane_bits <= 1 << 20:
+        assert hi.shape[-1] == K // 2 and hi.dtype == np.uint8
+    elif plane_bits <= 1 << 24:
+        assert hi.shape[-1] == K and hi.dtype == np.uint8
+    else:
+        assert hi.dtype == np.uint16
 
 
 @pytest.mark.parametrize("seed,nh,nw", [(0, 7, 6), (1, 9, 13), (2, 4, 16), (3, 12, 8)])
@@ -40,7 +62,7 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
     thr = jnp.asarray(np.float32(0.8))
     assert pallas_ncc.pallas_supported(H, W, nw, nh, 0.8)
 
-    pos, hcnt, nzh = jax.device_get(
+    lo, hi, hcnt, nzh = jax.device_get(
         pallas_ncc.ncc_candidates_pallas(
             jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
             jnp.asarray(s2), thr, nw=nw, nh=nh, caph=512, interpret=True,
@@ -54,10 +76,10 @@ def test_pallas_mask_matches_xla_candidates(seed, nh, nw):
     )
     WW = pallas_ncc.word_stride(W, nw)
     W2 = W - nw
-    assert nzh[0] <= len(pos), "cap overflow would invalidate the comparison"
+    assert nzh[0] <= len(lo), "cap overflow would invalidate the comparison"
     assert nzh[0] == hcnt.sum()
     for t in range(T):
-        cand = _unpack(pos, hcnt, nzh[0], WW, t)
+        cand = _unpack(lo, hi, hcnt, nzh[0], WW, t)
         xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
         # both are ε-supersets of the true accept set, exact-replayed on the
         # host; the Pallas kernel's f32 slack makes it the (slightly) wider
@@ -104,20 +126,21 @@ def test_pallas_batch_matches_single_pages():
     s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
     thr = jnp.asarray(np.float32(0.8))
 
-    bp, bc, bz = jax.device_get(
+    blo, bhi, bc, bz = jax.device_get(
         pallas_ncc.ncc_candidates_pallas_batch(
             jnp.asarray(imgs), jnp.asarray(needles), jnp.asarray(s_n),
             jnp.asarray(s2), thr, nw=nw, nh=nh, caph=512, interpret=True,
         )
     )
     for b in range(3):
-        sp_, sc, sz = jax.device_get(
+        slo, shi, sc, sz = jax.device_get(
             pallas_ncc.ncc_candidates_pallas(
                 jnp.asarray(imgs[b]), jnp.asarray(needles), jnp.asarray(s_n),
                 jnp.asarray(s2), thr, nw=nw, nh=nh, caph=512, interpret=True,
             )
         )
-        np.testing.assert_array_equal(bp[b], sp_)
+        np.testing.assert_array_equal(blo[b], slo)
+        np.testing.assert_array_equal(bhi[b], shi)
         np.testing.assert_array_equal(bc[b], sc)
         assert bz[b] == sz[0]
     assert bz[2] == 0 and bc[2].sum() == 0  # white page: no candidates
@@ -172,7 +195,7 @@ def test_pallas_banded_mask_matches_xla_candidates():
     s_n = needles.reshape(T, -1).astype(np.int64).sum(1)
     s2 = (needles.reshape(T, -1).astype(np.int64) ** 2).sum(1)
     thr = jnp.asarray(np.float32(0.8))
-    pos, hcnt, nzh = jax.device_get(
+    lo, hi, hcnt, nzh = jax.device_get(
         pallas_ncc.ncc_candidates_pallas(
             jnp.asarray(img), jnp.asarray(needles), jnp.asarray(s_n),
             jnp.asarray(s2), thr, nw=nw, nh=nh, caph=512, interpret=True,
@@ -186,11 +209,11 @@ def test_pallas_banded_mask_matches_xla_candidates():
     )
     WW = pallas_ncc.word_stride(W, nw)
     W2 = W - nw
-    assert nzh[0] <= len(pos)
+    assert nzh[0] <= len(lo)
     assert nzh[0] == hcnt.sum()
     found_any = 0
     for t in range(T):
-        cand = _unpack(pos, hcnt, nzh[0], WW, t)
+        cand = _unpack(lo, hi, hcnt, nzh[0], WW, t)
         xla = [(1 + int(li) // W2, 1 + int(li) % W2) for li in idx[t] if li >= 0]
         found_any += len(xla)
         assert set(xla) <= set(cand), f"needle {t}: tiled kernel dropped candidates"
