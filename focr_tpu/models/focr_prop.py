@@ -36,6 +36,9 @@ def max_steps(bank: PropBank, crop_w: int) -> int:
     return int(np.ceil(crop_w / min_adv)) + 1
 
 
+_CHUNK = 16  # scan steps per early-exit check
+
+
 def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
     """Build fn(strips [L, crop_h, crop_w] u8-valued inverted lines) ->
     (ids [L, n_steps] i32 glyph ids, -1 past end-of-line).
@@ -43,6 +46,18 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
     Intermediate dtypes are pinned (i32/f32) — the package enables
     jax_enable_x64, and silent i64/f64 promotion would both slow the TPU path
     and break f32 parity with the reference.
+
+    Two throughput structures (bit-parity unaffected — the per-step math is
+    op-identical):
+      * the scan runs in _CHUNK-step slices under a while_loop that stops
+        once EVERY line's cursor passed the width bound — n_steps is the
+        worst case (ceil(w/min_advance)), real text advances ~2x faster, so
+        ~40% of the steps never execute;
+      * the clipped ‖T‖² is precomputed per FreeType-quantized cursor value
+        into a [t64, G] table (t64 = round(64·(ox+pos)) determines both the
+        subpixel phase and the canvas clip range), turning the per-step
+        [L, G, wbank+1] cumsum gather + two take_along_axis into one [L]-row
+        table take.
     """
     G, P, crop_h, wbank = bank.templates.shape
     K = crop_h * wbank
@@ -54,11 +69,23 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
         f"prop window of {K} px exceeds the exact-i32 score bound (11008)"
     )
     tmat = jnp.asarray(bank.templates.reshape(G * P, K))
-    csq = jnp.asarray(bank.colsq_cum)  # [G, P, wbank+1] i32
     adv = jnp.asarray(bank.advances)  # [G] f32
     ox = jnp.float32(bank.ox)
     w_f = jnp.float32(crop_w)
-    base = jnp.int32(bank.base)
+
+    # ‖T‖² clipped to the canvas, indexed by the quantized cursor t64:
+    # k = t64>>6 is the window column, p = t64&63 the subpixel phase, and
+    # template cols c are in-canvas iff 0 <= (k - base) + c < crop_w. Cursor
+    # values stay < w + max_advance (inactive lines freeze), bounding t64.
+    t_cap = int(np.floor((float(bank.ox) + crop_w + float(bank.advances.max()))
+                         * 64.0 + 0.5)) + 2
+    tks = np.arange(t_cap) >> 6
+    tps = np.arange(t_cap) & 63
+    tlo = np.clip(bank.base - tks, 0, wbank)
+    thi = np.clip(crop_w - tks + bank.base, 0, wbank)
+    tsq_tab = jnp.asarray(
+        (bank.colsq_cum[:, tps, thi] - bank.colsq_cum[:, tps, tlo]).T
+    )  # [t_cap, G] i32
 
     def fn(strips: jax.Array):
         L = strips.shape[0]
@@ -87,18 +114,7 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
             accp = jnp.take_along_axis(
                 acc.reshape(L, G, P), p[:, None, None].astype(jnp.int32), axis=2
             )[..., 0]  # [L, G]
-            # clipped ‖T‖²: template cols c are in-canvas iff
-            # 0 <= (k - base) + c < crop_w
-            lo = jnp.clip(base - k, jnp.int32(0), jnp.int32(wbank))
-            hi = jnp.clip(
-                jnp.int32(crop_w) - k + base, jnp.int32(0), jnp.int32(wbank)
-            )
-            csel = csq[:, :, :].transpose(1, 0, 2)[p]  # [L, G, wbank+1]
-            tsq = jnp.take_along_axis(
-                csel, hi[:, None, None].astype(jnp.int32), axis=2
-            )[..., 0] - jnp.take_along_axis(
-                csel, lo[:, None, None].astype(jnp.int32), axis=2
-            )[..., 0]
+            tsq = jnp.take(tsq_tab, t64, axis=0)  # [L, G] clipped ‖T‖²
             score = tsq - jnp.int32(2) * accp  # ‖I‖² cancels in the argmin
             g = jnp.argmin(score, axis=1).astype(jnp.int32)  # first minimum
             active = pos < w_f  # the reference loop bound (main.rs:158)
@@ -106,9 +122,24 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
             pos_next = jnp.where(active, pos + adv[g], pos)
             return pos_next, ids
 
+        n_chunks = -(-n_steps // _CHUNK)
+
+        def body(carry):
+            pos, buf, ci = carry
+            pos, ids = jax.lax.scan(step, pos, None, length=_CHUNK)
+            buf = jax.lax.dynamic_update_slice(buf, ids, (ci * _CHUNK, jnp.int32(0)))
+            return pos, buf, ci + jnp.int32(1)
+
+        def cond(carry):
+            pos, _, ci = carry
+            # stop early once every cursor passed w: the skipped steps would
+            # only ever emit -1 (exactly what buf is initialized with)
+            return (ci < n_chunks) & jnp.any(pos < w_f)
+
         pos0 = jnp.zeros((L,), jnp.float32)
-        _, ids = jax.lax.scan(step, pos0, None, length=n_steps)
-        return jnp.swapaxes(ids, 0, 1)  # [L, n_steps]
+        buf0 = jnp.full((n_chunks * _CHUNK, L), -1, jnp.int32)
+        _, buf, _ = jax.lax.while_loop(cond, body, (pos0, buf0, jnp.int32(0)))
+        return jnp.swapaxes(buf[:n_steps], 0, 1)  # [L, n_steps]
 
     return fn
 

@@ -901,17 +901,19 @@ class NccMatcher:
         if int(nzh[0]) > lo_a.shape[0] and lo_a.shape[0] < _CAPH_MAX:
             # global candidate-cap overflow (suffix truncation — the rank
             # compaction is exact first-caph, so this is the only loss mode):
-            # grow this group's caph to 1.25x the MEASURED candidate count
+            # grow this group's caph to 1.125x the MEASURED candidate count
             # (nzh is exact), rounded up to a 1024-slot step — the per-page
             # result fetch stays sized to the corpus density (the d2h fetch
-            # is the ncc pipeline's long pole) instead of doubling past it,
-            # the 25% headroom absorbs page-to-page density variation, and
-            # the step granularity bounds the number of distinct compiled
-            # cap sizes — then re-dispatch THIS page once (an exact device
-            # redo beats per-needle host fallbacks). A denser later page
-            # re-grows the same way.
+            # is the ncc pipeline's long pole, and every compaction gather is
+            # K-proportional, so slack costs on BOTH sides of the link;
+            # candidates measure ~98.5% true hits, so the fetch cannot shrink
+            # below the density itself), the 12.5% headroom absorbs page-to-
+            # page variation, and the step granularity bounds the number of
+            # distinct compiled cap sizes — then re-dispatch THIS page once
+            # (an exact device redo beats per-needle host fallbacks). A
+            # denser later page re-grows the same way.
             need = max(int(nzh[0]), 2 * lo_a.shape[0])
-            caph_new = min(_CAPH_MAX, -(-(need + (need >> 2)) // 1024) * 1024)
+            caph_new = min(_CAPH_MAX, -(-(need + (need >> 3)) // 1024) * 1024)
             # benign race under page-parallel collect: concurrent overflows
             # each redo exactly and last-write-wins on the cached cap; a
             # later page that needs more simply regrows
