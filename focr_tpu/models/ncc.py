@@ -546,7 +546,8 @@ class NccMatcher:
                 for g, k, o in per_group
             ]
             hits = self._collect_page(
-                (pages[b], inv[b], plan, t_dispatch, None), verbose, False, None, struct
+                (pages[b], inv[b], plan, t_dispatch, None, (0, 0, H, W)),
+                verbose, False, None, struct,
             )
             results.append(post(hits) if post is not None else hits)
         return results
@@ -587,10 +588,50 @@ class NccMatcher:
                     p = p.astype(np.uint8)
                 np.subtract(255, p, out=inv_pad[k])
             inv_all = inv_pad[:B]
+            # ink-bbox crop: hits require a window with Σp > 0, and every
+            # such window lies within the wave's ink bounding box expanded by
+            # one needle size (windows at local x=1/y=1 then map exactly to
+            # the leftmost/topmost possible inked full-page windows, and the
+            # excluded local x=0/y=0 columns are provably Σp == 0 — or the
+            # reference's own x=0/y=0 exclusion when the crop hits the page
+            # edge, ncc.cpp:98). Only crop bytes cross the link and only the
+            # crop is swept; candidates map back to full-page coordinates at
+            # collect time and the exact replay runs on the FULL page, so bit
+            # parity is untouched. Dims round up to 64 to bound the number of
+            # compiled shapes. Blank buckets skip the device entirely.
+            crop = (0, 0, H, W)
+            sweep_any = any(g.nh < H and g.nw < W for g in self.groups)
+            if sweep_any:
+                rows_ink = inv_pad.any(axis=(0, 2))
+                if not rows_ink.any():
+                    crop = None  # blank: zero candidates for every needle
+                else:
+                    cols_ink = inv_pad.any(axis=(0, 1))
+                    nz_r = np.flatnonzero(rows_ink)
+                    nz_c = np.flatnonzero(cols_ink)
+                    nh_m = max(g.nh for g in self.groups if g.nh < H and g.nw < W)
+                    nw_m = max(g.nw for g in self.groups if g.nh < H and g.nw < W)
+                    y0 = max(0, int(nz_r[0]) - nh_m)
+                    x0 = max(0, int(nz_c[0]) - nw_m)
+                    y1 = min(H, int(nz_r[-1]) + 1 + nh_m)
+                    x1 = min(W, int(nz_c[-1]) + 1 + nw_m)
+                    Hc = min(H - y0, -(-(y1 - y0) // 64) * 64)
+                    Wc = min(W - x0, -(-(x1 - x0) // 64) * 64)
+                    crop = (y0, x0, Hc, Wc)
+            if crop is None or not sweep_any:
+                plans = [(grp, "empty", None) for grp in self.groups]
+                buckets.append((idxs, inv_all, plans, (0, 0, H, W)))
+                continue
+            y0, x0, Hc, Wc = crop
+            inv_up = (
+                inv_pad
+                if (Hc, Wc) == (H, W)
+                else np.ascontiguousarray(inv_pad[:, y0 : y0 + Hc, x0 : x0 + Wc])
+            )
             inv_j = (
-                jnp.asarray(inv_pad)
+                jnp.asarray(inv_up)
                 if device is None
-                else jax.device_put(inv_pad, device)
+                else jax.device_put(inv_up, device)
             )
             if measure is not None:
                 # exclude the upload from the first group's measured span
@@ -600,12 +641,14 @@ class NccMatcher:
             for gi, (grp, dev) in enumerate(
                 zip(self.groups, self._device_groups(device))
             ):
-                if grp.nh >= H or grp.nw >= W:
+                if grp.nh >= H or grp.nw >= W or grp.nh >= Hc or grp.nw >= Wc:
+                    # past the page (reference semantics) or past the crop
+                    # (a window overlapping ink cannot fit: Hc >= 2·nh + ink)
                     plans[gi] = (grp, "empty", None)
                     continue
                 tg = time.perf_counter()
                 if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
-                    H, W, grp.nw, grp.nh, self.threshold
+                    Hc, Wc, grp.nw, grp.nh, self.threshold
                 ):
                     caph = self._caph.get((grp.nh, grp.nw), _CAPH_START)
                     if measure is None:
@@ -640,7 +683,7 @@ class NccMatcher:
                 fused = self._fused_sweep(inv_j, tuple(fspecs), device)
                 for (gi, _), outs in zip(fspecs, fused):
                     plans[gi] = (self.groups[gi], "pallas", outs)
-            buckets.append((idxs, inv_all, plans))
+            buckets.append((idxs, inv_all, plans, crop))
         return batch, buckets, t0, device
 
     def _fetch_waves(self, waves: list) -> list[list]:
@@ -651,7 +694,7 @@ class NccMatcher:
         [B, ...] buffers into per-page plan tuples for _collect_page."""
         leaves: list = []
         for _, buckets, _, _ in waves:
-            for _, _, plans in buckets:
+            for _, _, plans, _ in buckets:
                 for _, kind, outs in plans:
                     if kind == "pallas":
                         leaves.append(outs)
@@ -662,7 +705,7 @@ class NccMatcher:
         out: list[list] = []
         for batch, buckets, t0, device in waves:
             per_page: list = [None] * len(batch)
-            for idxs, inv_all, plans in buckets:
+            for idxs, inv_all, plans, crop in buckets:
                 page_plans: list[list] = [[] for _ in idxs]
                 for grp, kind, _ in plans:
                     if kind == "empty":
@@ -679,7 +722,9 @@ class NccMatcher:
                         for pp in page_plans:
                             pp.append((grp, "xla", next(it)))
                 for k, i in enumerate(idxs):
-                    per_page[i] = (batch[i], inv_all[k], page_plans[k], t0, device)
+                    per_page[i] = (
+                        batch[i], inv_all[k], page_plans[k], t0, device, crop
+                    )
             out.append(per_page)
         return out
 
@@ -696,8 +741,9 @@ class NccMatcher:
         ``meas``: per-group measured wall seconds from a sync dispatch
         (--verbose-sync); None = pipelined default, where per-group time is
         unobservable and the page span is attributed by search share."""
-        page, inv, plan, t_dispatch, device = dispatched
+        page, inv, plan, t_dispatch, device, crop = dispatched
         H, W = page.shape
+        cy0, cx0, Hc, Wc = crop  # device sweep ran on this ink-bbox crop
         thr_f32 = np.float32(self.threshold)
         thr_f64 = np.float64(thr_f32)
 
@@ -739,11 +785,11 @@ class NccMatcher:
                 oracle_searcher = self._pallas_group(
                     grp, outs, tables, thr_f64, per_needle,
                     page, oracle_searcher, verbose, H, W, elapsed, device,
-                    time_label,
+                    time_label, crop,
                 )
                 continue
             idx, acc, sp, s2p, counts = (np.asarray(o) for o in outs)
-            W2 = W - grp.nw
+            W2 = Wc - grp.nw  # the sweep ran on the crop; remap below
             cap_eff = idx.shape[1]
             for ti, i in enumerate(grp.needle_ids):
                 nd = self.needles[i]
@@ -775,8 +821,8 @@ class NccMatcher:
                     print(f"WARN got >= {MAX_MATCHES} matches", file=sys.stderr)
                 lins_t = lins[:MAX_MATCHES]
                 per_needle[i] = (
-                    1 + lins_t % W2,
-                    1 + lins_t // W2,
+                    cx0 + 1 + lins_t % W2,
+                    cy0 + 1 + lins_t // W2,
                     sims[:MAX_MATCHES].astype(np.float32),
                 )
             if verbose:
@@ -893,9 +939,15 @@ class NccMatcher:
         self, grp, outs, tables, thr_f64, per_needle,
         page, oracle_searcher, verbose, H, W, elapsed, device=None,
         time_label: str = "estimated: page span attributed evenly",
+        crop=None,
     ):
-        """One dispatched size group: fetch the Pallas positions + host replay."""
+        """One dispatched size group: fetch the Pallas positions + host replay.
+
+        ``crop`` = (y0, x0, Hc, Wc): the sweep ran on this ink-bbox slice of
+        the page; positions decode crop-locally and remap to full-page
+        coordinates before the replay (which always runs on the full page)."""
         n = grp.nh * grp.nw
+        cy0, cx0, Hc, Wc = crop if crop is not None else (0, 0, H, W)
         lo_a, hi_a, hcnt, nzh = (np.asarray(o) for o in outs)
         inv_u8 = tables.inv_u8
         if int(nzh[0]) > lo_a.shape[0] and lo_a.shape[0] < _CAPH_MAX:
@@ -924,18 +976,27 @@ class NccMatcher:
             dev = next(
                 d for g, d in zip(self.groups, self._device_groups(device)) if g is grp
             )
+            inv_crop = np.ascontiguousarray(
+                inv_u8[cy0 : cy0 + Hc, cx0 : cx0 + Wc]
+            )  # redo sweeps the same crop so positions decode identically
             inv_dev = (
-                jnp.asarray(inv_u8) if device is None
-                else jax.device_put(inv_u8, device)
+                jnp.asarray(inv_crop) if device is None
+                else jax.device_put(inv_crop, device)
             )
             redo = ncc_ops_pallas_call(inv_dev, grp, dev, caph=caph_new)
             lo_a, hi_a, hcnt, nzh = (np.asarray(o) for o in jax.device_get(redo))
-        W1 = pallas_ncc.word_stride(W, grp.nw) * 32  # pos = y*W1 + x
+        W1 = pallas_ncc.word_stride(W, grp.nw) * 32  # full-page pos = y*W1 + x
 
         T = len(grp.needle_ids)
         caph = lo_a.shape[0]
         nv = min(int(nzh[0]), caph)  # valid prefix (0-padded past it)
-        pos_v = pallas_ncc.unpack_pos(lo_a, hi_a, nv)  # i32 [nv]
+        pos_v = pallas_ncc.unpack_pos(lo_a, hi_a, nv)  # i32 [nv], crop-local
+        if (Hc, Wc) != (H, W):
+            # remap crop-local positions to full-page linear positions: the
+            # replay (native or NumPy) decodes with the full-page row length
+            W1c = pallas_ncc.word_stride(Wc, grp.nw) * 32
+            ysv, xsv = np.divmod(pos_v, np.int32(W1c))
+            pos_v = (ysv + np.int32(cy0)) * np.int32(W1) + (xsv + np.int32(cx0))
         # per-needle candidate spans from the exact counts (hcnt is
         # cap-independent, so truncation is detectable per needle)
         ends_all = np.cumsum(hcnt.astype(np.int64))
