@@ -292,6 +292,34 @@ def test_ink_bbox_crop_parity(mono_font_path):
     assert len(hp2) > 0 and key(hp2) == key(ho2)
 
 
+def test_ink_bbox_crop_caph_redo_parity(mono_font_path, monkeypatch):
+    """A candidate-cap overflow on a CROPPED sweep re-dispatches the same
+    crop (positions must decode with the crop's row stride, then remap) —
+    results bit-identical to the oracle."""
+    import focr_tpu.models.ncc as ncc_mod
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+
+    monkeypatch.setattr(ncc_mod, "_CAPH_START", 2)  # overflow immediately
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=180, y_start=260, line_height=13,
+                          line_advance=15, width=110)
+    page = synthesize_page(face, ["ABABAB", "ababab"], dopts, ropts, "ABab",
+                           (560, 448))
+    m = NccMatcher(face, "ABab", ropts, threshold=0.5, device_kernel="pallas")
+    _, buckets, _, _ = m._dispatch_wave([page])
+    y0, x0, Hc, Wc = buckets[0][3]
+    assert y0 > 0 and x0 > 0 and (Hc, Wc) != page.shape  # crop engaged
+    hp = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    assert m._caph, "cap never grew: the redo path was not exercised"
+    key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
+    assert len(hp) > 0 and key(hp) == key(ho)
+
+
 def test_blank_pages_skip_device(mono_font_path):
     """An all-white page (or wave) produces zero hits without any device
     sweep — the bucket is marked empty at dispatch (Σp == 0 everywhere, so
