@@ -294,7 +294,17 @@ class NccMatcher:
             per = max(per, Hs8 * Tp * WB)
         if per == 0:
             return 16
-        return max(8, min(16, ((4 << 30) // per) // 8 * 8))
+        # the memory bound must dominate the throughput floor: a wave dips
+        # below 8 pages (and below the dispatch's {1,2,4} padding steps)
+        # whenever one group's mask plane alone approaches the HBM budget —
+        # flooring at 8 here would materialize an 8x-per transient and OOM
+        # on tall-page/large-bank configs
+        fit = (4 << 30) // per
+        if fit >= 8:
+            return min(16, fit // 8 * 8)
+        # match the dispatch's {1, 2, 4} padding steps so the PADDED batch
+        # stays within the bound too
+        return 4 if fit >= 4 else 2 if fit >= 2 else 1
 
     def _fused_sweep(self, inv_j, specs: tuple, device) -> tuple:
         """ONE jitted executable sweeping every Pallas-able size group of a
@@ -558,9 +568,7 @@ class NccMatcher:
         (_fused_sweep), so a wave of B pages costs ~2 device calls instead
         of B × groups — the per-call round trip is the dominant off-chip
         cost (the reference amortizes differently: rayon threads,
-        ncc.rs:839-847). The page axis is padded to the next multiple of 8
-        with inverted-white zero pages (Σp == 0 ⇒ zero candidates), bounding
-        both the compiled-batch-size count and the padded upload waste.
+        ncc.rs:839-847).
 
         ``device`` pins the wave's sweeps to one chip (the mesh scatter
         path); None uses the default device. ``measure``: optional dict —
@@ -568,7 +576,11 @@ class NccMatcher:
         block_until_ready and measure[(nh, nw)] accumulates its true
         wall-clock seconds (the --verbose-sync mode; kills pipelining and
         dispatch fusion by design). Returns an opaque wave object for
-        _fetch_wave(s)."""
+        _fetch_wave(s).
+
+        The page axis pads to the next of {1, 2, 4, 8, 16, 24, ...} with
+        inverted-white zero pages (Σp == 0 ⇒ zero candidates), bounding both
+        the compiled-batch-size count and the padded upload waste."""
         t0 = time.perf_counter()
         by_shape: dict[tuple[int, int], list[int]] = {}
         for i, p in enumerate(batch):
@@ -576,7 +588,10 @@ class NccMatcher:
         buckets = []
         for (H, W), idxs in by_shape.items():
             B = len(idxs)
-            Bp = -(-B // 8) * 8  # next multiple of 8 >= B
+            # pad the page axis to {1, 2, 4} then multiples of 8: bounded
+            # compiled-shape variants without the 8x upload/sweep tax on
+            # single-page calls (get_hits / --verbose-sync measure 1 page)
+            Bp = B if B in (1, 2) else 4 if B <= 4 else -(-B // 8) * 8
             # one-pass u8 invert straight into the padded upload buffer
             # (255 - x never underflows for u8 x; an i32 detour would cost
             # two extra 4x-sized passes over the wave — measured at up to

@@ -108,7 +108,7 @@ def _run_winners(lkey: np.ndarray, lsim: np.ndarray, ov: int, N: int) -> np.ndar
     partition_by's run-anchored split + last-max-wins selection
     (ncc.rs:753-766, 1036-1052). Native C single pass when the toolchain is
     available; the vectorized NumPy formulation otherwise (identical output,
-    pinned by tests/test_ncc_post.py)."""
+    pinned by tests/test_post.py)."""
     try:
         from focr_tpu.native import ncc_cpu
 

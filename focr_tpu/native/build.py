@@ -84,11 +84,6 @@ def load() -> ctypes.CDLL:
                 ctypes.c_float, ctypes.POINTER(FMatch), ctypes.c_int64,
                 ctypes.c_void_p,
             ]
-            lib.focr_ncc_tables_u8.restype = None
-            lib.focr_ncc_tables_u8.argtypes = [
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ref, w, h
-                ctypes.c_void_p, ctypes.c_void_p,  # sum_tab, sq_tab
-            ]
             lib.focr_ncc_replay_pos_u8.restype = None
             lib.focr_ncc_replay_pos_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ref, w, h

@@ -101,25 +101,6 @@ class NativeSearcher:
         return res
 
 
-def build_tables(inv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-page exact i64 integral tables for replay_group: (sum, sumsq),
-    each (H+1, W+1) with a zero top/left border. Built once per page in one
-    fused native pass and shared by every size group's replay (the
-    per-candidate sp/s2p window sums become O(1) lookups, the reference's
-    own integral-table design, ncc.rs:937)."""
-    lib = load()
-    inv = np.ascontiguousarray(inv)
-    H, W = inv.shape
-    sum_tab = np.empty((H + 1, W + 1), dtype=np.int64)
-    sq_tab = np.empty((H + 1, W + 1), dtype=np.int64)
-    lib.focr_ncc_tables_u8(
-        inv.ctypes.data_as(ctypes.c_void_p), W, H,
-        sum_tab.ctypes.data_as(ctypes.c_void_p),
-        sq_tab.ctypes.data_as(ctypes.c_void_p),
-    )
-    return sum_tab, sq_tab
-
-
 def replay_group(
     inv: np.ndarray,  # [H, W] u8 inverted page
     pos: np.ndarray,  # [N] i32 needle-local linear candidate positions
@@ -196,6 +177,6 @@ def post_winners(key: np.ndarray, sim: np.ndarray, overlap: int) -> np.ndarray:
 
 
 __all__ = [
-    "NativeSearcher", "available", "build_tables", "post_winners",
+    "NativeSearcher", "available", "post_winners",
     "replay_group",
 ]

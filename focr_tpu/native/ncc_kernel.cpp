@@ -132,39 +132,6 @@ void focr_ncc_search_many_u8(
     }
 }
 
-// Per-page exact i64 integral tables, (r_h+1) x (r_w+1) with a zero
-// top/left border: sum_tab holds prefix sums of the inverted pixels,
-// sq_tab of their squares. One fused pass; shared by every size group's
-// replay on the page (the reference builds equivalent tables per Searcher,
-// ncc.rs:937-974 — but u32/u64-wrapping; these are clean i64, exact for any
-// page that fits memory: max sum H*W*65025 << 2^63).
-void focr_ncc_tables_u8(
-    const uint8_t* ref, int64_t r_w, int64_t r_h,
-    int64_t* sum_tab, int64_t* sq_tab) {
-    const int64_t W1 = r_w + 1;
-    for (int64_t x = 0; x < W1; ++x) {
-        sum_tab[x] = 0;
-        sq_tab[x] = 0;
-    }
-    for (int64_t y = 0; y < r_h; ++y) {
-        const uint8_t* row = ref + y * r_w;
-        int64_t rs = 0, rq = 0;
-        int64_t* st = sum_tab + (y + 1) * W1;
-        int64_t* qt = sq_tab + (y + 1) * W1;
-        const int64_t* pst = sum_tab + y * W1;
-        const int64_t* pqt = sq_tab + y * W1;
-        st[0] = 0;
-        qt[0] = 0;
-        for (int64_t x = 0; x < r_w; ++x) {
-            const int64_t v = row[x];
-            rs += v;
-            rq += v * v;
-            st[x + 1] = pst[x + 1] + rs;
-            qt[x + 1] = pqt[x + 1] + rq;
-        }
-    }
-}
-
 // Per-window exact integer stats for the replay: correlation acc, window
 // sum and sum-of-squares, all from the same n_h rows of page bytes — one
 // pass over ~n cache-resident bytes per candidate instead of scattered
