@@ -37,11 +37,18 @@ def max_steps(bank: PropBank, crop_w: int) -> int:
 
 
 _CHUNK = 16  # scan steps per early-exit check
+_END_ID = 255  # u8 sentinel for "cursor passed the width bound"
 
 
 def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
     """Build fn(strips [L, crop_h, crop_w] u8-valued inverted lines) ->
-    (ids [L, n_steps] i32 glyph ids, -1 past end-of-line).
+    (ids [n_chunks*_CHUNK, L] u8 glyph ids in step-major order, _END_ID
+    sentinel past end-of-line; n_chunks_run i32 — the number of _CHUNK-step
+    slices that actually executed before every cursor passed the width
+    bound). The caller fetches only the executed prefix ids[:n_chunks_run *
+    _CHUNK] — the d2h fetch runs ~10x slower than h2d on the remote
+    transport, and the early-exit typically leaves ~40% of the worst-case
+    buffer dead.
 
     Intermediate dtypes are pinned (i32/f32) — the package enables
     jax_enable_x64, and silent i64/f64 promotion would both slow the TPU path
@@ -61,6 +68,9 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
     """
     G, P, crop_h, wbank = bank.templates.shape
     K = crop_h * wbank
+    # u8 ids on the wire: 4x less fetch than i32 (glyph counts are tiny —
+    # the reference's alphabets are <= ~80 chars; fail loudly at the bound)
+    assert G < _END_ID, f"{G} glyphs exceed the u8 id wire format ({_END_ID - 1})"
     # the i32 score combine (tsq - 2*accp below) is exact only while the
     # worst-case |score| bound 3*K*255^2 fits i32; a larger window with
     # dense ink could silently wrap — fail loudly instead (mirrors the
@@ -118,7 +128,7 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
             score = tsq - jnp.int32(2) * accp  # ‖I‖² cancels in the argmin
             g = jnp.argmin(score, axis=1).astype(jnp.int32)  # first minimum
             active = pos < w_f  # the reference loop bound (main.rs:158)
-            ids = jnp.where(active, g, jnp.int32(-1))
+            ids = jnp.where(active, g, jnp.int32(_END_ID)).astype(jnp.uint8)
             pos_next = jnp.where(active, pos + adv[g], pos)
             return pos_next, ids
 
@@ -133,13 +143,13 @@ def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
         def cond(carry):
             pos, _, ci = carry
             # stop early once every cursor passed w: the skipped steps would
-            # only ever emit -1 (exactly what buf is initialized with)
+            # only ever emit the sentinel (what buf is initialized with)
             return (ci < n_chunks) & jnp.any(pos < w_f)
 
         pos0 = jnp.zeros((L,), jnp.float32)
-        buf0 = jnp.full((n_chunks * _CHUNK, L), -1, jnp.int32)
-        _, buf, _ = jax.lax.while_loop(cond, body, (pos0, buf0, jnp.int32(0)))
-        return jnp.swapaxes(buf[:n_steps], 0, 1)  # [L, n_steps]
+        buf0 = jnp.full((n_chunks * _CHUNK, L), _END_ID, jnp.uint8)
+        _, buf, ci = jax.lax.while_loop(cond, body, (pos0, buf0, jnp.int32(0)))
+        return buf, ci
 
     return fn
 
@@ -182,10 +192,17 @@ class PropDecoder:
             )
         else:
             strips_j = jnp.asarray(strips)
-        ids = np.asarray(self._fn(strips_j))[:L]  # [L, n_steps]
+        buf, ci = self._fn(strips_j)  # buf [n_chunks*_CHUNK, Lp] u8 step-major
+        # fetch only the executed-chunk prefix: ci is a tiny scalar round
+        # trip, then the device slices the buffer before the (d2h-bound)
+        # transfer — the early-exit typically leaves ~40% of the worst-case
+        # step buffer dead
+        n_run = int(ci) * _CHUNK
+        ids = np.asarray(buf[:n_run]).T[:L]  # [L, n_run]
         alphabet = self.bank.alphabet
         out = []
         for row in ids:
-            n = int(np.argmax(row < 0)) if (row < 0).any() else len(row)
+            ends = row == _END_ID
+            n = int(np.argmax(ends)) if ends.any() else len(row)
             out.append("".join(alphabet[g] for g in row[:n]))
         return out
