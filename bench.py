@@ -275,7 +275,46 @@ def bench_ncc(face, reps: int) -> float:
         f"spread {_spread(times, n_pages)}",
         file=sys.stderr,
     )
-    return n_pages / best
+    dev_ms = bench_ncc_device(matcher, pages[:16], max(reps, 4))
+    return n_pages / best, dev_ms
+
+
+def bench_ncc_device(matcher, pages: list, reps: int) -> float:
+    """Device-only ncc sweep+compaction ms/page (isolates the kernel from
+    the transport so regressions are attributable from the JSON alone, like
+    focr's device metric): pre-upload distinct full-page wave buffers, then
+    enqueue every rep's fused group sweeps and block ONCE without fetching.
+    Full-page sweeps (no ink-bbox crop), so this upper-bounds the pipeline's
+    per-page device cost at the matcher's grown candidate caps."""
+    import jax
+    import jax.numpy as jnp
+
+    from focr_tpu.models.ncc import _CAPH_START, ncc_ops_pallas_call_batch
+    from focr_tpu.ops import pallas_ncc
+
+    H, W = pages[0].shape
+    inv = np.stack([(255 - p.astype(np.int32)).astype(np.uint8) for p in pages])
+    bufs = [jnp.asarray(np.ascontiguousarray(inv ^ np.uint8(r + 1))) for r in range(reps)]
+    jax.block_until_ready(bufs)
+    calls = []
+    for grp, dev in zip(matcher.groups, matcher._device_groups(None)):
+        if grp.nh >= H or grp.nw >= W:
+            continue
+        if not pallas_ncc.pallas_supported(H, W, grp.nw, grp.nh, matcher.threshold):
+            continue
+        calls.append((grp, dev, matcher._caph.get((grp.nh, grp.nw), _CAPH_START)))
+    outs = [ncc_ops_pallas_call_batch(bufs[0], grp, dev, caph=c) for grp, dev, c in calls]
+    jax.block_until_ready(outs)  # compile
+    t0 = time.perf_counter()
+    outs = [
+        ncc_ops_pallas_call_batch(b, grp, dev, caph=c)
+        for b in bufs
+        for grp, dev, c in calls
+    ]
+    jax.block_until_ready(outs)
+    dev_ms = (time.perf_counter() - t0) / (reps * len(pages)) * 1e3
+    print(f"# ncc device sweep+compact {dev_ms:.2f} ms/page", file=sys.stderr)
+    return dev_ms
 
 
 def main() -> None:
@@ -293,8 +332,9 @@ def main() -> None:
         "focr_device_mfu_pct": round(dev_mfu * 100, 3),
     }
     if os.environ.get("BENCH_NCC", "1") != "0":
-        ncc_pps = bench_ncc(face, max(reps - 2, 3))
+        ncc_pps, ncc_dev_ms = bench_ncc(face, max(reps - 2, 3))
         extra["ncc_dense_pages_per_sec"] = round(ncc_pps, 2)
+        extra["ncc_device_ms_per_page"] = round(ncc_dev_ms, 3)
     if os.environ.get("BENCH_PROP", "1") != "0":
         extra["prop_pages_per_sec"] = round(bench_prop(max(reps - 2, 3)), 2)
 
