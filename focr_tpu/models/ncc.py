@@ -516,21 +516,55 @@ class NccMatcher:
                 p = p.astype(np.uint8)
             np.subtract(255, p, out=inv[k])
         B = len(pages)
+        # ink-bbox crop, same derivation as _dispatch_wave: deterministic
+        # from the corpus content, so every process computes the identical
+        # crop and the global shard shapes agree
+        crop = (0, 0, H, W)
+        sweepable = [g for g in self.groups if g.nh < H and g.nw < W]
+        if sweepable:
+            rows_ink = inv.any(axis=(0, 2))
+            if not rows_ink.any():
+                crop = None
+            else:
+                cols_ink = inv.any(axis=(0, 1))
+                nz_r = np.flatnonzero(rows_ink)
+                nz_c = np.flatnonzero(cols_ink)
+                nh_m = max(g.nh for g in sweepable)
+                nw_m = max(g.nw for g in sweepable)
+                y0 = max(0, int(nz_r[0]) - nh_m)
+                x0 = max(0, int(nz_c[0]) - nw_m)
+                y1 = min(H, int(nz_r[-1]) + 1 + nh_m)
+                x1 = min(W, int(nz_c[-1]) + 1 + nw_m)
+                Hc = min(H - y0, -(-(y1 - y0) // 64) * 64)
+                Wc = min(W - x0, -(-(x1 - x0) // 64) * 64)
+                crop = (y0, x0, Hc, Wc)
+        if crop is None or not sweepable:
+            empty_plan = [(g, "empty", None) for g in self.groups]
+            return [
+                post(h) if post is not None else h
+                for b in range(B)
+                for h in [self._collect_page(
+                    (pages[b], inv[b], empty_plan, t_dispatch, None, (0, 0, H, W)),
+                    verbose, False, None, struct,
+                )]
+            ]
+        y0, x0, Hc, Wc = crop
+        inv_c = np.ascontiguousarray(inv[:, y0 : y0 + Hc, x0 : x0 + Wc])
         pad = (-B) % mesh.size
         if pad:
             # pad with zeros = inverted WHITE pages (pad_batch's 255 fill is
             # for un-inverted pages; 255 here would be solid ink and burn a
             # full sweep per filler page)
             inv_p = np.concatenate(
-                [inv, np.zeros((pad, H, W), dtype=np.uint8)], axis=0
+                [inv_c, np.zeros((pad, Hc, Wc), dtype=np.uint8)], axis=0
             )
         else:
-            inv_p = inv
+            inv_p = inv_c
         inv_j = put_global(inv_p, pages_sharding(mesh))
 
         group_outs: list[tuple[_Group, str, object]] = []
         for gi, grp in enumerate(self.groups):
-            if grp.nh >= H or grp.nw >= W:
+            if grp.nh >= H or grp.nw >= W or grp.nh >= Hc or grp.nw >= Wc:
                 group_outs.append((grp, "empty", None))
                 continue
             # memoized per (mesh, group): a fresh @jax.jit closure per call
@@ -556,7 +590,7 @@ class NccMatcher:
                 for g, k, o in per_group
             ]
             hits = self._collect_page(
-                (pages[b], inv[b], plan, t_dispatch, None, (0, 0, H, W)),
+                (pages[b], inv[b], plan, t_dispatch, None, crop),
                 verbose, False, None, struct,
             )
             results.append(post(hits) if post is not None else hits)

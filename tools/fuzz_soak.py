@@ -52,8 +52,13 @@ def main() -> int:
         seed += 1
         rng = np.random.default_rng(seed)
         ropts = RenderOptions(size=float(rng.choice([9.0, 11.0, 13.0, 15.0])))
+        # every 3rd config places the text block deep inside a larger page
+        # so the ink-bbox crop ENGAGES (nonzero origin, dims < page) and its
+        # position remapping is differentially fuzzed, not just unit-tested
+        interior = seed % 3 == 1
         dopts = DecodeOptions(
-            x_start=int(rng.integers(0, 8)), y_start=int(rng.integers(0, 8)),
+            x_start=int(rng.integers(40, 90)) if interior else int(rng.integers(0, 8)),
+            y_start=int(rng.integers(40, 90)) if interior else int(rng.integers(0, 8)),
             line_height=int(rng.integers(10, 18)),
             line_advance=int(rng.integers(14, 21)),
             width=int(rng.integers(60, 140)),
@@ -62,7 +67,11 @@ def main() -> int:
             rng.choice(list("ABXYabxy01=+/:;(){}<>-"),
                        size=int(rng.integers(4, 9)), replace=False)
         )
-        shape = (int(rng.integers(48, 110)), int(rng.integers(90, 180)))
+        shape = (
+            (int(rng.integers(160, 260)), int(rng.integers(200, 320)))
+            if interior
+            else (int(rng.integers(48, 110)), int(rng.integers(90, 180)))
+        )
         lines = random_text_lines(
             rng, alphabet, int(rng.integers(1, 5)), int(rng.integers(3, 12))
         )
