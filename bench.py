@@ -221,11 +221,12 @@ def bench_prop(reps: int) -> float:
     return n_pages / best
 
 
-def bench_ncc(face, reps: int) -> float:
+def bench_ncc(face, reps: int) -> tuple[float, float | None]:
     """Dense-page ncc corpus (x-bits 2, the README.md:56 workload shape):
     74-letter default alphabet, 4 subpixel offsets, ~tens of thousands of
     raw hits per page; full pipeline = device sweep + exact host replay +
-    post-processing into text lines."""
+    post-processing into text lines. Returns (pages/sec, device ms/page or
+    None off-TPU — see bench_ncc_device)."""
     from focr_tpu.models.ncc import NccMatcher
     from focr_tpu.models.post import line_matches_truth, process_hits_text
     from focr_tpu.models.types import DecodeOptions, NCC_DEFAULT_ALPHABET, RenderOptions
@@ -279,19 +280,23 @@ def bench_ncc(face, reps: int) -> float:
     return n_pages / best, dev_ms
 
 
-def bench_ncc_device(matcher, pages: list, reps: int) -> float:
+def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
     """Device-only ncc sweep+compaction ms/page (isolates the kernel from
     the transport so regressions are attributable from the JSON alone, like
     focr's device metric): pre-upload distinct full-page wave buffers, then
     enqueue every rep's fused group sweeps and block ONCE without fetching.
     Full-page sweeps (no ink-bbox crop), so this upper-bounds the pipeline's
-    per-page device cost at the matcher's grown candidate caps."""
+    per-page device cost at the matcher's grown candidate caps. None when
+    the matcher is not on the Pallas kernel (off-TPU that would time
+    interpret mode — meaningless and near-unbounded)."""
     import jax
     import jax.numpy as jnp
 
     from focr_tpu.models.ncc import _CAPH_START, ncc_ops_pallas_call_batch
     from focr_tpu.ops import pallas_ncc
 
+    if matcher.device_kernel != "pallas":
+        return None
     H, W = pages[0].shape
     inv = np.stack([(255 - p.astype(np.int32)).astype(np.uint8) for p in pages])
     bufs = [jnp.asarray(np.ascontiguousarray(inv ^ np.uint8(r + 1))) for r in range(reps)]
@@ -303,6 +308,8 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float:
         if not pallas_ncc.pallas_supported(H, W, grp.nw, grp.nh, matcher.threshold):
             continue
         calls.append((grp, dev, matcher._caph.get((grp.nh, grp.nw), _CAPH_START)))
+    if not calls:  # nothing Pallas-able: a 0.0 reading would be misleading
+        return None
     outs = [ncc_ops_pallas_call_batch(bufs[0], grp, dev, caph=c) for grp, dev, c in calls]
     jax.block_until_ready(outs)  # compile
     t0 = time.perf_counter()
@@ -352,7 +359,8 @@ def main() -> None:
                 "ncc", lambda: bench_ncc(face, max(reps - 2, 3))
             )
             extra["ncc_dense_pages_per_sec"] = round(ncc_pps, 2)
-            extra["ncc_device_ms_per_page"] = round(ncc_dev_ms, 3)
+            if ncc_dev_ms is not None:
+                extra["ncc_device_ms_per_page"] = round(ncc_dev_ms, 3)
         except Exception as e:  # noqa: BLE001 - keep the focr record alive
             print(f"# ncc bench failed twice: {e}", file=sys.stderr)
     if os.environ.get("BENCH_PROP", "1") != "0":

@@ -138,6 +138,40 @@ def _wave_size() -> int | None:
     return int(env) if env else None
 
 
+def _ink_crop(inv: np.ndarray, H: int, W: int, groups) -> tuple | None:
+    """Ink-bbox crop (y0, x0, Hc, Wc) for a stacked inverted wave [*, H, W].
+
+    Hits require a window with Σp > 0, and every such window lies within the
+    ink bounding box expanded by one needle size: windows at local x=1/y=1
+    then map exactly to the leftmost/topmost possible inked full-page
+    windows, and the excluded local x=0/y=0 columns are provably Σp == 0 —
+    or the reference's own x=0/y=0 exclusion when the crop hits the page
+    edge (ncc.cpp:98). This is a device candidate FILTER: per the bit-parity
+    invariant, widening it is safe, narrowing it is a correctness bug — keep
+    the wave and sharded paths on this single implementation. Dims round up
+    to 64 to bound compiled shapes. Returns None for a blank (all-white)
+    wave: zero candidates everywhere, skip the device entirely.
+    """
+    sweepable = [g for g in groups if g.nh < H and g.nw < W]
+    if not sweepable:
+        return (0, 0, H, W)
+    rows_ink = inv.any(axis=(0, 2))
+    if not rows_ink.any():
+        return None
+    cols_ink = inv.any(axis=(0, 1))
+    nz_r = np.flatnonzero(rows_ink)
+    nz_c = np.flatnonzero(cols_ink)
+    nh_m = max(g.nh for g in sweepable)
+    nw_m = max(g.nw for g in sweepable)
+    y0 = max(0, int(nz_r[0]) - nh_m)
+    x0 = max(0, int(nz_c[0]) - nw_m)
+    y1 = min(H, int(nz_r[-1]) + 1 + nh_m)
+    x1 = min(W, int(nz_c[-1]) + 1 + nw_m)
+    Hc = min(H - y0, -(-(y1 - y0) // 64) * 64)
+    Wc = min(W - x0, -(-(x1 - x0) // 64) * 64)
+    return (y0, x0, Hc, Wc)
+
+
 def _host_searcher(page: np.ndarray):
     """Fastest available exact host searcher: native C++ kernel, else oracle."""
     try:
@@ -516,28 +550,11 @@ class NccMatcher:
                 p = p.astype(np.uint8)
             np.subtract(255, p, out=inv[k])
         B = len(pages)
-        # ink-bbox crop, same derivation as _dispatch_wave: deterministic
-        # from the corpus content, so every process computes the identical
-        # crop and the global shard shapes agree
-        crop = (0, 0, H, W)
-        sweepable = [g for g in self.groups if g.nh < H and g.nw < W]
-        if sweepable:
-            rows_ink = inv.any(axis=(0, 2))
-            if not rows_ink.any():
-                crop = None
-            else:
-                cols_ink = inv.any(axis=(0, 1))
-                nz_r = np.flatnonzero(rows_ink)
-                nz_c = np.flatnonzero(cols_ink)
-                nh_m = max(g.nh for g in sweepable)
-                nw_m = max(g.nw for g in sweepable)
-                y0 = max(0, int(nz_r[0]) - nh_m)
-                x0 = max(0, int(nz_c[0]) - nw_m)
-                y1 = min(H, int(nz_r[-1]) + 1 + nh_m)
-                x1 = min(W, int(nz_c[-1]) + 1 + nw_m)
-                Hc = min(H - y0, -(-(y1 - y0) // 64) * 64)
-                Wc = min(W - x0, -(-(x1 - x0) // 64) * 64)
-                crop = (y0, x0, Hc, Wc)
+        # ink-bbox crop (shared _ink_crop derivation — deterministic from
+        # the corpus content, so every process computes the identical crop
+        # and the global shard shapes agree)
+        crop = _ink_crop(inv, H, W, self.groups)
+        sweepable = any(g.nh < H and g.nw < W for g in self.groups)
         if crop is None or not sweepable:
             empty_plan = [(g, "empty", None) for g in self.groups]
             return [
@@ -637,36 +654,12 @@ class NccMatcher:
                     p = p.astype(np.uint8)
                 np.subtract(255, p, out=inv_pad[k])
             inv_all = inv_pad[:B]
-            # ink-bbox crop: hits require a window with Σp > 0, and every
-            # such window lies within the wave's ink bounding box expanded by
-            # one needle size (windows at local x=1/y=1 then map exactly to
-            # the leftmost/topmost possible inked full-page windows, and the
-            # excluded local x=0/y=0 columns are provably Σp == 0 — or the
-            # reference's own x=0/y=0 exclusion when the crop hits the page
-            # edge, ncc.cpp:98). Only crop bytes cross the link and only the
-            # crop is swept; candidates map back to full-page coordinates at
-            # collect time and the exact replay runs on the FULL page, so bit
-            # parity is untouched. Dims round up to 64 to bound the number of
-            # compiled shapes. Blank buckets skip the device entirely.
-            crop = (0, 0, H, W)
+            # ink-bbox crop (_ink_crop): only crop bytes cross the link and
+            # only the crop is swept; candidates map back to full-page
+            # coordinates at collect time and the exact replay runs on the
+            # FULL page, so bit parity is untouched.
+            crop = _ink_crop(inv_pad, H, W, self.groups)
             sweep_any = any(g.nh < H and g.nw < W for g in self.groups)
-            if sweep_any:
-                rows_ink = inv_pad.any(axis=(0, 2))
-                if not rows_ink.any():
-                    crop = None  # blank: zero candidates for every needle
-                else:
-                    cols_ink = inv_pad.any(axis=(0, 1))
-                    nz_r = np.flatnonzero(rows_ink)
-                    nz_c = np.flatnonzero(cols_ink)
-                    nh_m = max(g.nh for g in self.groups if g.nh < H and g.nw < W)
-                    nw_m = max(g.nw for g in self.groups if g.nh < H and g.nw < W)
-                    y0 = max(0, int(nz_r[0]) - nh_m)
-                    x0 = max(0, int(nz_c[0]) - nw_m)
-                    y1 = min(H, int(nz_r[-1]) + 1 + nh_m)
-                    x1 = min(W, int(nz_c[-1]) + 1 + nw_m)
-                    Hc = min(H - y0, -(-(y1 - y0) // 64) * 64)
-                    Wc = min(W - x0, -(-(x1 - x0) // 64) * 64)
-                    crop = (y0, x0, Hc, Wc)
             if crop is None or not sweep_any:
                 plans = [(grp, "empty", None) for grp in self.groups]
                 buckets.append((idxs, inv_all, plans, (0, 0, H, W)))

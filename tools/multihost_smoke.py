@@ -99,9 +99,19 @@ def main() -> int:
         subprocess.Popen([sys.executable, os.path.abspath(__file__), str(i), str(port)])
         for i in range(2)
     ]
-    rcs = [p.wait(timeout=600) for p in procs]
+    try:
+        # shorter than the pytest wrapper's 540s budget so a rendezvous hang
+        # is reaped HERE (both workers killed below) rather than orphaned
+        # when pytest kills only this orchestrator
+        rcs = [p.wait(timeout=420) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     print(f"multihost smoke rcs={rcs}")
-    return max(rcs)
+    # signal deaths have NEGATIVE return codes — max() would mask a worker
+    # that crashed after printing its OK line
+    return 0 if all(rc == 0 for rc in rcs) else 1
 
 
 if __name__ == "__main__":
