@@ -34,6 +34,22 @@ ALPHABET = "> =ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
+def _force(outs) -> None:
+    """Execution fence for device-only timing: block_until_ready PLUS a
+    data-dependent scalar fetch per dispatched output. The axon runtime has
+    been observed to ack enqueues before execution completes —
+    block_until_ready alone returned ~0 for a chain of 32 8192^3 matmuls
+    (a fake 49 PFLOP/s on a 197 TFLOP/s chip); with a forcing fetch the
+    same chain reads ~5.7 ms/matmul (~50% MFU), which is real. The scalar
+    slices are issued as async copies and collected by ONE device_get, so
+    the fence costs ~1 tunnel RTT total, amortized over all reps."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(outs)
+    jax.block_until_ready(leaves)
+    jax.device_get([a.ravel()[:1] for a in leaves])
+
+
 def _spread(times: list[float], n_pages: int) -> dict:
     """Per-rep pages/s spread: best plus p50/p05 (5th-percentile) views."""
     pps = sorted(n_pages / t for t in times)
@@ -143,12 +159,12 @@ def bench_focr_device(dec, pages: np.ndarray, reps: int) -> tuple[float, float]:
     flats_j = [
         jnp.asarray(flat_for(pages[perm_rng.permutation(B)])) for _ in range(reps)
     ]
-    jax.block_until_ready(flats_j)
+    _force(flats_j)  # uploads must land before the timed region
     out = dec._combined_fn(flats_j[0], B=B)  # compile
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     outs = [dec._combined_fn(f, B=B) for f in flats_j]
-    jax.block_until_ready(outs)
+    _force(outs)
     dt = time.perf_counter() - t0
     pps = reps * B / dt
 
@@ -300,7 +316,7 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
     H, W = pages[0].shape
     inv = np.stack([(255 - p.astype(np.int32)).astype(np.uint8) for p in pages])
     bufs = [jnp.asarray(np.ascontiguousarray(inv ^ np.uint8(r + 1))) for r in range(reps)]
-    jax.block_until_ready(bufs)
+    _force(bufs)  # uploads must land before the timed region
     calls = []
     for grp, dev in zip(matcher.groups, matcher._device_groups(None)):
         if grp.nh >= H or grp.nw >= W:
@@ -311,14 +327,14 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
     if not calls:  # nothing Pallas-able: a 0.0 reading would be misleading
         return None
     outs = [ncc_ops_pallas_call_batch(bufs[0], grp, dev, caph=c) for grp, dev, c in calls]
-    jax.block_until_ready(outs)  # compile
+    _force(outs)  # compile
     t0 = time.perf_counter()
     outs = [
         ncc_ops_pallas_call_batch(b, grp, dev, caph=c)
         for b in bufs
         for grp, dev, c in calls
     ]
-    jax.block_until_ready(outs)
+    _force(outs)
     dev_ms = (time.perf_counter() - t0) / (reps * len(pages)) * 1e3
     print(f"# ncc device sweep+compact {dev_ms:.2f} ms/page", file=sys.stderr)
     return dev_ms
