@@ -52,7 +52,7 @@ def pad_t(T: int) -> int:
 
 
 def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
-                 sn_n_ref, gmat_ref, bytes_ref, s_ref, *,
+                 sn_n_ref, gmat_ref, bytes_ref, rcnt_ref, s_ref, *,
                  nw, nh, W1, Hs, n, Tt):
     """Kernel body; grid is (page, needle_tile, row_band) — one
     _TROWS-window-row band of one Tt-needle tile of one page per step. The
@@ -88,6 +88,17 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
                                      G[x, g] = 2^(x%8) · [x//8 == g]
     bytes  [1, TR, Tt, W1/8]    u8 out block at (b, yt, tile, 0) — mask
            bytes (byte g packs x in [8g, 8g+8))
+    rcnt   [1, 1, Tt, TR]       i32 out block at (b, yt, tile, 0) into the
+           band-major count plane [B, n_bands, Tp, TR] — per-mask-row
+           candidate counts (mask row (t, y=yt*TR+r) at [b, yt, t, r]).
+           Emitted here because recomputing them downstream would re-read +
+           popcount the whole mask plane (the compaction's single largest
+           HBM pass). The count itself rides the pack matmul: gmat carries
+           a trailing all-ones column, so packed[:, WB] = Σ keep — exact
+           f32 integers <= W1 < 2^24, one extra MXU lane instead of a VPU
+           reduce. (The caller transposes to the compaction's t-major
+           order — a cheap [B, n_bands, Tp, TR] i32 pass in XLA; Mosaic's
+           block-shape rules disallow writing t-major directly.)
     s      [Ks, W1]             bf16 scratch — the shared shifted slices
 
     Per band row r (unrolled python loop, r static): two MXU dots — the
@@ -150,8 +161,12 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
         keepf = keep.astype(jnp.float32)
         packed = jnp.dot(
             keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
-        )  # [Tt, W1/8] — exact byte values 0..255
-        bytes_ref[0, r, :, :] = packed.astype(jnp.int32).astype(jnp.uint8)
+        )  # [Tt, W1/8 + 1] — exact: mask bytes 0..255, then the row count
+        WB = W1 // 8
+        bytes_ref[0, r, :, :] = (
+            packed[:, :WB].astype(jnp.int32).astype(jnp.uint8)
+        )
+        rcnt_ref[0, 0, :, pl.ds(r, 1)] = packed[:, WB:].astype(jnp.int32)
 
 
 def _pad_to_b(a: jax.Array, rows: int, cols: int) -> jax.Array:
@@ -220,10 +235,12 @@ def _candidates_impl(
                       constant_values=np.float32(np.inf))
 
     # bit-packing matrix: G[x, g] = 2^(x % 8) iff x // 8 == g (powers of two
-    # ≤ 128: exact in bf16)
+    # ≤ 128: exact in bf16), plus a trailing all-ones column so the same
+    # matmul also yields each row's candidate COUNT (see _kernel_rows)
     xs = np.arange(W1)
-    gm = np.zeros((W1, WB), dtype=np.float32)
+    gm = np.zeros((W1, WB + 1), dtype=np.float32)
     gm[xs, xs // 8] = (1 << (xs % 8)).astype(np.float32)
+    gm[:, WB] = 1.0
     gmat = jnp.asarray(gm).astype(jnp.bfloat16)
 
     # staticly pre-shifted needle tiles: ndmr[i, r, t, r·nw + k] =
@@ -260,14 +277,19 @@ def _candidates_impl(
     # python-int literals in BlockSpec index maps / kernel body become i64
     # constants, and Mosaic cannot legalize i64 (func.return (i64, i64))
     with jax.enable_x64(False):
-        mask_bytes = _call_rows(
+        mask_bytes, rcnt_bm = _call_rows(
             kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, img_t.shape[-1],
             interpret, thr_arr, img_t, ndmr, sp_t, s2p_t, rtn, sn_n, gmat,
         )
-    return _compact_hits(mask_bytes, B, T, Tp, Hs8, WB, caph)
+    # band-major [B, n_bands, Tp, TR] -> t-major [B, Tp, Hs8] (scan order)
+    rcnt_tm = rcnt_bm.transpose(0, 2, 1, 3).reshape(B, Tp, Hs8)
+    return _compact_hits(mask_bytes, rcnt_tm, B, T, Tp, Hs8, WB, caph)
 
 
-_RPB = 128  # rank-compaction block granularity: mask rows per block
+_RPB = 32  # rank-compaction block granularity: mask rows per block (the
+# per-slot L1 gather/rank work is _RPB-proportional while the L2 block
+# locate is nblk-INSENSITIVE since it became a scatter histogram + cumsum,
+# so small blocks win; 32 keeps the gathered row at one 128-byte vreg)
 
 
 def _rows(mat: jax.Array, idx: jax.Array) -> jax.Array:
@@ -296,6 +318,7 @@ def _triu_cum(rows: jax.Array, tri: jax.Array) -> jax.Array:
 
 def _compact_hits(
     mask_bytes: jax.Array,  # [B, Hs8, Tp, WB] u8 — kernel output, y-major
+    rcnt_tm: jax.Array,  # [B, Tp, Hs8] i32 — kernel row counts, t-major
     B: int, T: int, Tp: int, Hs8: int, WB: int, caph: int,
 ):
     """Exact first-caph candidate-BIT compaction by hierarchical rank.
@@ -312,19 +335,37 @@ def _compact_hits(
     TPU-first design notes: stream compaction via top_k / sort / full-plane
     cumsum costs 150-400ms per 32-page dense wave (TopK cliffs above k~32,
     sorts are comparator networks, XLA cumsum is log-n reduce-window
-    passes); this formulation uses only single-pass popcount sums, fused
-    compare-counts, TWO K-sized row gathers (one fewer than the word-level
-    scheme — per-slot gather issue cost, not row width, dominates on TPU),
-    and small triangular matmuls.
+    passes). Per-slot gathers are the other trap: each K-sized gather /
+    take_along_axis costs ~0.2-0.9ms per dense 16-page wave REGARDLESS of
+    row width (issue cost dominates), so this formulation keeps exactly TWO
+    of them — the L1 count-row gather and the L0 word-row gather — and
+    derives every exclusive-prefix lookup ("hits before the owning X")
+    without a gather: at block level as a scatter-max of the block prefix
+    table + a [K] running max (both tiny), and within gathered rows as a
+    masked max over the row's own prefix matmul (fuses into the compare
+    pass that locates the owning lane). Everything else is single-pass
+    popcount sums, fused compare-counts, and small triangular matmuls.
 
-      L2  block totals (_RPB mask rows/block) -> cumsum over ~1400 blocks,
-          fused compare-count locates each output slot's owning block
-      L1  per-block row popcounts, gathered per slot [K, _RPB],
-          triangular-matmul prefix sums -> owning mask row (t, y)
-      L0  the owning row's RAW BYTES gathered straight from the kernel's
-          y-major plane [K, WB] (index arithmetic, no transpose copy);
-          per-byte popcounts + the same matmul trick -> owning byte
-      L-1 the owning byte's 8 bits, unpacked in-register -> bit
+      L2  block totals (_RPB mask rows/block) -> cumsum over blocks, then a
+          scatter histogram of the cumsums + one cumsum over [K] locates
+          every output slot's owning block (slots are an iota and the block
+          cumsums are sorted, so #{j: c2[j] <= p} for all p at once is just
+          cumsum(histogram(c2)) — nblk-insensitive, unlike a fused
+          compare-count, which pays K x nblk compares; jnp.searchsorted is
+          far worse still, an XLA gather-per-probe while loop measured at
+          218ms per 32-page wave). The exclusive prefix e2[blk[p]] comes
+          from the dual trick: scatter-max e2[j] into bin e2[j], cummax.
+      L1  per-block row counts (emitted t-major by the kernel, which has
+          the keep mask in registers — recomputing them here would
+          popcount-reduce the whole mask plane, the compaction's largest
+          HBM pass), gathered per slot [K, _RPB]; triangular-matmul prefix
+          sums -> owning mask row (t, y)
+      L0  the owning row's raw 32-bit WORDS gathered straight from a
+          bitcast of the kernel's y-major plane [K, WW] (index arithmetic,
+          no transpose copy; word lanes beat byte lanes ~4x on the rank
+          math); per-word popcounts + the same matmul trick -> owning word,
+          whose value rides a onehot multiply-reduce out of the same pass
+      L-1 the owning word's 32 bits, unpacked in-register -> bit
 
     Returns (pos_lo, pos_hi — the needle-LOCAL linear bit position
     y*(WB*8) + x per slot, ascending per needle = scan order, split into the
@@ -335,11 +376,7 @@ def _compact_hits(
     population; overflow (nz_hits > caph) remains suffix-truncation, handled
     by the caller's caph redo.
     """
-    pc = jax.lax.population_count(mask_bytes)  # [B, Hs8, Tp, WB] u8
-    # t-major per-row popcounts: rcnt[b, t, y] = candidates in mask row (t, y)
-    rcnt = jnp.swapaxes(
-        pc[:, :, :T].sum(axis=3, dtype=jnp.int32), 1, 2
-    )  # [B, T, Hs8], values <= WB*8
+    rcnt = rcnt_tm[:, :T]  # [B, T, Hs8] i32, already t-major (scan order)
     hcnt = rcnt.sum(axis=2, dtype=jnp.int32)  # [B, T] exact hits/needle
     M = T * Hs8  # t-major mask-row count
     Mp = ((M + _RPB - 1) // _RPB) * _RPB
@@ -347,27 +384,34 @@ def _compact_hits(
     if Mp != M:  # zero counts in the pad zone: never selected
         rr = jnp.pad(rr, ((0, 0), (0, Mp - M)))
     nblk = Mp // _RPB
-    s2 = rr.reshape(B, nblk, _RPB).sum(axis=2)  # [B, nblk] block totals
+    # block totals; dtype pinned — x64 sum/cumsum default-promote to i64,
+    # which the scatter below would then unsafely cast
+    s2 = rr.reshape(B, nblk, _RPB).sum(axis=2, dtype=jnp.int32)
 
-    c2 = jnp.cumsum(s2, axis=1)  # [B, nblk] — tiny
+    c2 = jnp.cumsum(s2, axis=1, dtype=jnp.int32)  # [B, nblk] — tiny
     nz_hits = c2[:, -1]
 
     K = caph
     p = jnp.arange(K, dtype=jnp.int32)
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
     # owning block: first block whose inclusive total exceeds p, i.e.
-    # #{j : c2[j] <= p} — a fused broadcast compare-count over the ~1400-row
-    # block table instead of jnp.searchsorted (XLA lowers the vmapped
-    # binary search as a gather-per-probe while loop: measured 218ms per
-    # 32-page dense wave vs ~20ms for the fused compare-reduce). A
-    # super-block hierarchy was tried and reverted: per-slot row GATHERS,
-    # not the compare-reduce, dominate the K-scaling cost on TPU, and the
-    # extra level added one.
-    blk = (c2[:, None, :] <= p[None, :, None]).sum(axis=2, dtype=jnp.int32)
-    blk = jnp.minimum(blk, nblk - 1)
-    # ONE gather from the exclusive-prefix table (c2 − s2 is elementwise on
-    # the tiny block table) instead of two K-sized take_along_axis calls
-    before2 = jnp.take_along_axis(c2 - s2, blk, axis=1)
-    j2 = p[None] - before2  # rank within block, valid where p < nz_hits
+    # #{j : c2[j] <= p} = cumsum(histogram(c2))[p] (overflow -> bin K,
+    # dropped); see the docstring for why not compare-count/searchsorted
+    hist = jnp.zeros((B, K + 1), jnp.int32)
+    hist = hist.at[bidx, jnp.minimum(c2, K)].add(jnp.int32(1))
+    blk = jnp.minimum(
+        jnp.cumsum(hist[:, :K], axis=1, dtype=jnp.int32), nblk - 1
+    )  # [B, K]
+    # hits before the owning block: before2[p] = e2[blk[p]] with e2 the
+    # exclusive prefix, but gather-free — e2 is nondecreasing and block j
+    # owns slots [e2[j], c2[j]), so e2[blk[p]] = max{e2[j] : e2[j] <= p}:
+    # scatter-max e2[j] into bin e2[j], then a running max over slots.
+    # e2[0] == 0 seeds every slot, so the zeros init is exact.
+    e2 = c2 - s2
+    bmax = jnp.zeros((B, K + 1), jnp.int32)
+    bmax = bmax.at[bidx, jnp.minimum(e2, K)].max(e2)
+    before2 = jax.lax.cummax(bmax[:, :K], axis=1)
+    j2 = p[None] - before2  # rank within block (>= 0 for every slot)
 
     # L1: owning mask row within the block. Row totals <= WB*8 exceed bf16's
     # exact-integer range, so this level's prefix matmul runs f32/HIGHEST.
@@ -377,45 +421,59 @@ def _compact_hits(
     j2f = j2.astype(jnp.float32)
     rin = (cum1 <= j2f[:, :, None]).sum(axis=2, dtype=jnp.int32)
     rin = jnp.minimum(rin, _RPB - 1)
-    before1 = jnp.take_along_axis(
-        cum1 - rows1.astype(jnp.float32), rin[:, :, None], axis=2
-    )[:, :, 0]
+    # rank before the owning row, as a masked max over the row's own
+    # exclusive prefix (excl1 nondecreasing, excl1[0] == 0 <= j2: exact) —
+    # fuses into the compare pass above instead of a per-slot take_along
+    excl1 = cum1 - rows1.astype(jnp.float32)
+    before1 = jnp.max(jnp.where(excl1 <= j2f[:, :, None], excl1, 0.0), axis=2)
     j1 = j2f - before1  # rank within mask row (f32 integer, < WB*8)
 
     grow = blk * _RPB + rin  # [B, K] global t-major mask-row index
     t = grow // Hs8
     y = grow - t * Hs8
-    # L0: the owning row's raw bytes, gathered from the natural y-major
-    # plane (row (t, y) lives at y-major row y*Tp + t — index arithmetic
-    # replaces a 16MB/page transposed copy). Pad-zone rows (only where
-    # found == False) can map past T-1: clamp so the discarded gather stays
-    # in bounds.
+    # L0: the owning row's raw 32-bit words, bitcast (little-endian: byte
+    # 4w+k of the row carries x in [32w+8k, 32w+8k+8), so word w covers
+    # x in [32w, 32w+32) with ascending bit = ascending x) and gathered
+    # from the natural y-major plane (row (t, y) lives at y-major row
+    # y*Tp + t — index arithmetic replaces a 16MB/page transposed copy).
+    # Pad-zone rows (only where found == False) can map past T-1: clamp so
+    # the discarded gather stays in bounds.
+    WW = WB // 4
+    words = jax.lax.bitcast_convert_type(
+        mask_bytes.reshape(B, Hs8 * Tp, WW, 4), jnp.uint32
+    )  # [B, Hs8*Tp, WW]
     row_idx = jnp.minimum(y * Tp + t, Hs8 * Tp - 1)
-    raw = _rows(mask_bytes.reshape(B, Hs8 * Tp, WB), row_idx)  # [B, K, WB] u8
-    pcr = jax.lax.population_count(raw)  # values <= 8: bf16-exact
-    tri_wb = jnp.asarray(np.triu(np.ones((WB, WB), np.float32)))
-    cum0 = _triu_cum(pcr.astype(jnp.bfloat16), tri_wb.astype(jnp.bfloat16))
-    byte = (cum0 <= j1[:, :, None]).sum(axis=2, dtype=jnp.int32)
-    byte = jnp.minimum(byte, WB - 1)
-    before0 = jnp.take_along_axis(
-        cum0 - pcr.astype(jnp.float32), byte[:, :, None], axis=2
-    )[:, :, 0]
-    jb = (j1 - before0).astype(jnp.int32)  # rank within byte, < 8
+    raw = _rows(words, row_idx)  # [B, K, WW] u32
+    pcr = jax.lax.population_count(raw).astype(jnp.int32)  # <= 32: bf16-exact
+    tri_ww = jnp.asarray(np.triu(np.ones((WW, WW), np.float32)))
+    cum0 = _triu_cum(pcr.astype(jnp.bfloat16), tri_ww.astype(jnp.bfloat16))
+    j1e = j1[:, :, None]
+    word = jnp.minimum(
+        (cum0 <= j1e).sum(axis=2, dtype=jnp.int32), WW - 1
+    )
+    excl0 = cum0 - pcr.astype(jnp.float32)
+    sel0 = excl0 <= j1e
+    before0 = jnp.max(jnp.where(sel0, excl0, 0.0), axis=2)
+    jb = (j1 - before0).astype(jnp.int32)  # rank within word, < 32
+    # the owning word's VALUE rides a onehot multiply-reduce out of the
+    # same pass (for found slots cum0[-1] = row count > j1, so the onehot
+    # has exactly one lane set; elsewhere v is garbage and pos is masked)
+    oh = (sel0 & (cum0 > j1e)).astype(jnp.uint32)
+    v = jnp.sum(raw * oh, axis=2)  # [B, K] u32
 
-    # L-1: the j-th set bit of the owning byte, in-register (no gather):
-    # byte g packs x in [8g, 8g+8) with bit value 2^(x%8), so ascending bit
-    # = ascending x = scan order
-    v = jnp.take_along_axis(raw, byte[:, :, None], axis=2).astype(jnp.int32)
-    bits = (v >> jnp.arange(8, dtype=jnp.int32)[None, None, :]) & 1  # [B,K,8]
-    tri8 = jnp.asarray(np.triu(np.ones((8, 8), np.float32)))
-    cumb = _triu_cum(bits.astype(jnp.bfloat16), tri8.astype(jnp.bfloat16))
+    # L-1: the jb-th set bit of the owning word, in-register (no gather)
+    bits = (
+        v[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    ) & jnp.uint32(1)
+    tri32 = jnp.asarray(np.triu(np.ones((32, 32), np.float32)))
+    cumb = _triu_cum(bits.astype(jnp.bfloat16), tri32.astype(jnp.bfloat16))
     bit = (cumb <= jb.astype(jnp.float32)[:, :, None]).sum(
         axis=2, dtype=jnp.int32
     )
-    bit = jnp.minimum(bit, 7)
+    bit = jnp.minimum(bit, 31)
 
     found = p[None] < jnp.minimum(nz_hits, jnp.int32(K))[:, None]
-    pos = jnp.where(found, y * jnp.int32(WB * 8) + byte * 8 + bit, 0)
+    pos = jnp.where(found, y * jnp.int32(WB * 8) + word * 32 + bit, 0)
     return (*_pack_pos(pos, Hs8 * WB * 8), hcnt, nz_hits)
 
 
@@ -541,11 +599,16 @@ def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, Wp,
                interpret, *args):
     """pallas_call wrapper for the banded kernel: the image input is the
     pre-banded [B, n_bands, band, Wp] array (one overlapping row band per
-    grid step); the mask-byte output is y-major [B, Hs8, Tp, WB]."""
+    grid step); outputs are the y-major mask-byte plane [B, Hs8, Tp, WB]
+    and the band-major per-mask-row candidate counts
+    [B, n_bands, Tp, _TROWS] i32."""
     return pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Hs8 // _TROWS, Tp, _TROWS), jnp.int32),
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, band, Wp), lambda b, i, yt: (b, yt, 0, 0),
@@ -560,11 +623,15 @@ def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, Wp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Tt, 1), lambda b, i, yt: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W1, WB), lambda b, i, yt: (0, 0),
+            pl.BlockSpec((W1, WB + 1), lambda b, i, yt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TROWS, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, _TROWS, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tt, _TROWS), lambda b, i, yt: (b, yt, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[pltpu.VMEM((Ks, W1), jnp.bfloat16)],
         interpret=interpret,
     )(*args)
@@ -589,11 +656,12 @@ def _vmem_rows(H: int, W: int, nw: int, nh: int) -> int:
     return (
         2 * 4 * band * Wp  # img band x2 (pipeline double buffering)
         + 2 * 2 * 4 * _TROWS * W1  # sp + s2p bands x2
-        + 2 * W1 * (W1 // 8)  # gmat (bf16)
+        + 2 * W1 * (W1 // 8 + 1)  # gmat incl. count column (bf16)
         + 2 * Ks * W1  # bf16 shifted-slice scratch
         + 2 * 2 * _TROWS * Tt * Ks  # shifted needle tiles x2 (bf16)
         + 2 * 4 * Tt * W1  # acc + num transients
         + 2 * _TROWS * Tt * (W1 // 8)  # bytes out block x2
+        + 2 * 4 * _TROWS * Tt  # rcnt out block x2
     )
 
 
