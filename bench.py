@@ -36,18 +36,12 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 def _force(outs) -> None:
     """Execution fence for device-only timing: block_until_ready PLUS a
-    data-dependent scalar fetch per dispatched output. The axon runtime has
-    been observed to ack enqueues before execution completes —
-    block_until_ready alone returned ~0 for a chain of 32 8192^3 matmuls
-    (a fake 49 PFLOP/s on a 197 TFLOP/s chip); with a forcing fetch the
-    same chain reads ~5.7 ms/matmul (~50% MFU), which is real. The scalar
-    slices are issued as async copies and collected by ONE device_get, so
-    the fence costs ~1 tunnel RTT total, amortized over all reps."""
-    import jax
+    data-dependent scalar fetch (see focr_tpu.utils.device — the remote
+    backend can ack enqueues before execution, which made unfenced device
+    metrics read ~100-1000x fast)."""
+    from focr_tpu.utils.device import force
 
-    leaves = jax.tree_util.tree_leaves(outs)
-    jax.block_until_ready(leaves)
-    jax.device_get([a.ravel()[:1] for a in leaves])
+    force(outs)
 
 
 def _spread(times: list[float], n_pages: int) -> dict:

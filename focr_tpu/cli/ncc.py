@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--verbose-sync", action="store_true",
                    help="verbose with MEASURED per-search timing: serializes "
-                        "each size group's device dispatch (block_until_ready) "
+                        "each size group's device dispatch (forcing fence) "
                         "so elapsed/ns-per-pixel are wall-clock measurements "
                         "like the reference's (ncc.rs:657-666); slower — the "
                         "pipelined default prints estimates instead")

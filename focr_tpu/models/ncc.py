@@ -30,6 +30,7 @@ from focr_tpu.fonts.ft import Face
 from focr_tpu.models.types import MAX_MATCHES, BoxSize, MatchWithLetter, RenderOptions
 from focr_tpu.ops import ncc as ncc_ops
 from focr_tpu.ops import pallas_ncc
+from focr_tpu.utils.device import force as device_force
 
 
 def ncc_ops_pallas_call(inv_j, grp, dev, caph: int):
@@ -396,7 +397,8 @@ class NccMatcher:
         """Device search + exact host recheck; hits in reference order
         (get_hits, ncc.rs:544-721).
 
-        ``sync``: serialize per-group dispatch with block_until_ready so the
+        ``sync``: serialize per-group dispatch with a forcing device fence
+        (utils.device.force) so the
         verbose elapsed/ns-per-pixel lines are true wall-clock measurements
         (the reference measures each search, ncc.rs:657-666; the pipelined
         default can only estimate — async device work has no observable
@@ -623,8 +625,8 @@ class NccMatcher:
 
         ``device`` pins the wave's sweeps to one chip (the mesh scatter
         path); None uses the default device. ``measure``: optional dict —
-        when given, each group's dispatch is serialized with
-        block_until_ready and measure[(nh, nw)] accumulates its true
+        when given, each group's dispatch is serialized with a forcing
+        device fence and measure[(nh, nw)] accumulates its true
         wall-clock seconds (the --verbose-sync mode; kills pipelining and
         dispatch fusion by design). Returns an opaque wave object for
         _fetch_wave(s).
@@ -677,7 +679,9 @@ class NccMatcher:
             )
             if measure is not None:
                 # exclude the upload from the first group's measured span
-                jax.block_until_ready(inv_j)
+                # (force, not block_until_ready: the remote backend can ack
+                # enqueues early, which would fold the upload into the span)
+                device_force(inv_j)
             plans: list[tuple[_Group, str, object] | None] = [None] * len(self.groups)
             fspecs: list[tuple[int, int]] = []  # (group idx, caph) to fuse
             for gi, (grp, dev) in enumerate(
@@ -718,7 +722,7 @@ class NccMatcher:
                     ]
                     plans[gi] = (grp, "xla", outs)
                 if measure is not None:
-                    jax.block_until_ready(outs)
+                    device_force(outs)
                     key = (grp.nh, grp.nw)
                     measure[key] = measure.get(key, 0.0) + time.perf_counter() - tg
             if fspecs:
