@@ -156,6 +156,10 @@ def bench_focr_device(dec, pages: np.ndarray, reps: int) -> tuple[float, float]:
     _force(flats_j)  # uploads must land before the timed region
     out = dec._combined_fn(flats_j[0], B=B)  # compile
     _force(out)
+    # pre-compile the fence for the measured leaf signature (the fence jits
+    # one reduction per signature; an unwarmed signature would put that
+    # compile inside the timed region)
+    _force([out for _ in flats_j])
     t0 = time.perf_counter()
     outs = [dec._combined_fn(f, B=B) for f in flats_j]
     _force(outs)
@@ -322,6 +326,9 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
         return None
     outs = [ncc_ops_pallas_call_batch(bufs[0], grp, dev, caph=c) for grp, dev, c in calls]
     _force(outs)  # compile
+    # pre-compile the fence for the measured leaf signature (see
+    # bench_focr_device)
+    _force([o for _ in bufs for o in outs])
     t0 = time.perf_counter()
     outs = [
         ncc_ops_pallas_call_batch(b, grp, dev, caph=c)

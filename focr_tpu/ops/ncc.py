@@ -68,25 +68,77 @@ def correlate(img: jax.Array, needles: jax.Array) -> jax.Array:
 
 
 def _sliding_sum(arr: jax.Array, k: int, axis: int) -> jax.Array:
-    """Exact sliding-window sum of width k along axis (cumsum difference)."""
+    """Exact sliding-window sum of width k along axis.
+
+    Small k (every needle dimension in practice): a k-term sum of shifted
+    slices — XLA fuses the whole chain into ONE pass with k reads per
+    output element. The cumsum-difference form is kept only for large k:
+    TPU cumsum lowers to log-n reduce-window passes, and the two
+    window_stats calls built from it measured 1.33 ms/page on the dense
+    corpus vs ~0.1 ms for the fused shifted-add chain. Integer adds are
+    exact under either association, and the shifted-add intermediates are
+    window sums (smaller than the cumsum's running totals), so the
+    caller's overflow dtype bounds remain valid unchanged."""
+    n = arr.shape[axis]
+    lead = tuple(slice(None) for _ in range(axis))
+    if k <= 16:
+        out = arr[lead + (slice(0, n - k + 1),)]
+        for d in range(1, k):
+            out = out + arr[lead + (slice(d, d + n - k + 1),)]
+        return out
     c = jnp.cumsum(arr, axis=axis)
     pad = [(0, 0)] * arr.ndim
     pad[axis] = (1, 0)
     c = jnp.pad(c, pad)
-    lead = tuple(slice(None) for _ in range(axis))
-    n = arr.shape[axis]
     hi = c[lead + (slice(k, n + 1),)]
     lo = c[lead + (slice(0, n + 1 - k),)]
     return hi - lo
 
 
+def _banded_ones(n: int, k: int) -> np.ndarray:
+    """[n, n-k+1] f32 selector: column c sums rows [c, c+k)."""
+    out = np.zeros((n, n - k + 1), np.float32)
+    for d in range(k):
+        out[np.arange(n - k + 1) + d, np.arange(n - k + 1)] = 1.0
+    return out
+
+
 def window_stats(img: jax.Array, nw: int, nh: int) -> tuple[jax.Array, jax.Array]:
     """(Σp, Σp²) for every nw×nh window -> two [H-nh+1, W-nw+1] arrays.
 
-    Σp fits i32 for any sane page; Σp² cumsums can exceed 2^31 on tall pages,
-    so the accumulation dtype is chosen by a static bound.
+    MXU formulation when the window sums are f32-exact (needle area small
+    enough that n·65025 < 2²⁴ — the same bound the Pallas kernel is gated
+    on): the LANE-axis sliding sum is one matmul against a banded 0/1
+    selector (X @ Csel — a shifted-add chain along lanes pays a lane
+    rotation per term and TPU cumsum is log-n reduce-window passes; the
+    two cumsum-built window_stats calls measured 1.33 ms/page on the dense
+    corpus), and the SUBLANE-axis sum is an nh-term shifted-add chain in
+    i32 (sublane shifts are cheap, integer adds exact). Exactness of the
+    matmul stage: img (≤255) is an exact bf16 operand and f32 partial sums
+    stay < 255·nw < 2²⁴; img² has ≤16 significant bits, exact under the
+    f32 HIGHEST-precision hi/lo bf16 split against a 0/1 matrix (the same
+    guarantee _triu_cum in pallas_ncc relies on), with partial sums
+    < 65025·nw < 2²¹. The i32 casts are of exact integer f32 values.
+
+    Fallback (big needles / i64 territory): exact integer cumsum
+    differences; Σp fits i32 for any sane page; Σp² cumsums can exceed 2^31
+    on tall pages, so the accumulation dtype is chosen by a static bound.
     """
     H, W = img.shape
+    if nh * nw * 65025 < 2**24:
+        csel = jnp.asarray(_banded_ones(W, nw))  # [W, W-nw+1]
+        pf = img.astype(jnp.float32)
+        r1 = jnp.dot(pf, csel).astype(jnp.int32)
+        r2 = jnp.dot(
+            pf * pf, csel, precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
+        Hs = H - nh + 1
+        sp = r1[0:Hs]
+        s2p = r2[0:Hs]
+        for d in range(1, nh):
+            sp = sp + r1[d : d + Hs]
+            s2p = s2p + r2[d : d + Hs]
+        return sp, s2p
     i32_ok_sum = W * 255 < 2**31 and H * nw * 255 < 2**31
     i32_ok_sq = W * 65025 < 2**31 and H * nw * 65025 < 2**31
     dt_sum = jnp.int32 if i32_ok_sum else jnp.int64

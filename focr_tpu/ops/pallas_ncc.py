@@ -62,17 +62,22 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
     budget and arbitrarily tall pages stream through (SURVEY.md §7 stage 4 —
     the reference's per-row loop, ncc.cpp:98-100, as a banded grid).
 
-    The correlation for ALL TR rows shares ONE shifted-slice matrix
-    S[q·nw+dx, x] = img[y0+q, x+dx] (the (TR+nh-1)·nw distinct shifted row
-    slices of the band — a per-row im2col would store TR·nh·nw slices, ~6×
-    more VPU work, and per-step VPU work dominated the previous one-row
-    kernel at ~7µs/step). Window row r then contracts against a staticly
-    pre-shifted needle matrix ndmr[r], where ndmr[r, t, r·nw + k] =
-    needle[t, k]: the (q, dx) slice meets needle entry (q-r, dx) exactly
-    when the band layout says q = r + dy, so acc_r = ndmr[r] @ S reproduces
-    the per-row im2col contraction term for term — same products, same
-    nonnegative-partial-sum f32 accumulation (zero padding contributes
-    nothing), so acc is the same exact integer as before.
+    The correlation for ALL TR rows shares ONE shifted-slice matrix, laid
+    out dx-MAJOR: S[dx·band+q, x] = img[y0+q, x+dx] (the (TR+nh-1)·nw
+    distinct shifted row slices of the band — a per-row im2col would store
+    TR·nh·nw slices, ~6× more VPU work). dx-major matters: for a fixed dx
+    the band's rows are CONTIGUOUS in S, so the build is nw block stores of
+    [band, W1] (each one lane-rotation of the already-bf16 image block)
+    instead of (TR+nh-1)·nw single-row stores — per-store issue cost made
+    the q-major build ~12µs of a ~21µs grid step (measured; the dots
+    themselves are ~7µs). Window row r then contracts against a staticly
+    pre-shifted needle matrix ndmr[r], where
+    ndmr[r, t, dx·band + (r+dy)] = needle[t, dy, dx]: slice (dx, q) meets
+    needle entry (dy = q-r, dx) exactly when the band layout says q = r+dy,
+    so acc_r = ndmr[r] @ S reproduces the per-row im2col contraction term
+    for term — same products, nonnegative integer partial sums < 2²⁴ are
+    exact in f32 under ANY summation order, so acc is the same exact
+    integer as before.
 
     thr    [1, 1]               f32  (threshold - ε), SMEM
     img    [1, 1, TR+nh-1, Wp]  f32  row band: page rows [yt*TR, …+TR+nh-1)
@@ -124,14 +129,17 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
     col_ok = jax.lax.broadcasted_iota(jnp.int32, (1, W1), 1) >= 1
 
     # the band's distinct shifted slices, stored once and shared by all TR
-    # rows: S[q*nw+dx, x] = img[y0+q, x+dx]. Built via per-slice STORES into
-    # VMEM scratch — stores relayout the lane-offset slices to offset 0; a
-    # sublane concat of them does not lower ("offset mismatch on non-concat
-    # dimension").
-    for q in range(_TROWS + nh - 1):
-        row = img_ref[0, 0, pl.ds(q, 1), :].astype(jnp.bfloat16)  # [1, Wp]
-        for dx in range(nw):
-            s_ref[pl.ds(q * nw + dx, 1), :] = row[:, dx : dx + W1]
+    # rows, dx-major: S[dx*band+q, x] = img[y0+q, x+dx]. Built via nw BLOCK
+    # stores into VMEM scratch (stores relayout the lane-offset slices to
+    # offset 0; a sublane concat of slices does not lower — "offset mismatch
+    # on non-concat dimension"). One bf16 cast of the whole band, then one
+    # [band, W1] store per dx.
+    band = _TROWS + nh - 1
+    # the img block is 8·cch >= band rows (aligned-chunk banding); only the
+    # first band rows belong to this band's window
+    imgb = img_ref[0, 0, :band, :].astype(jnp.bfloat16)  # [band, Wp]
+    for dx in range(nw):
+        s_ref[pl.ds(dx * band, band), :] = imgb[:, dx : dx + W1]
     smat = s_ref[:]  # [Ks, W1]
 
     for r in range(_TROWS):
@@ -243,14 +251,19 @@ def _candidates_impl(
     gm[:, WB] = 1.0
     gmat = jnp.asarray(gm).astype(jnp.bfloat16)
 
-    # staticly pre-shifted needle tiles: ndmr[i, r, t, r·nw + k] =
-    # bank[i·Tt + t, k] (zero elsewhere) — window row r of a band contracts
-    # needle entry (dy, dx) against band slice q = r + dy, and the shift
-    # r·nw in the flattened (q, dx) index is exactly a left zero-pad
+    # staticly pre-shifted needle tiles, dx-major to match the kernel's
+    # S layout: ndmr[i, r, t, dx·band + (r+dy)] = bank[i·Tt + t, dy, dx]
+    # (zero elsewhere) — window row r of a band contracts needle entry
+    # (dy, dx) against band slice q = r + dy; with q contiguous per dx the
+    # shift r is a per-dx zero-pad along the q axis
     band = _TROWS + nh - 1
     Ks = band * nw
+    nd_dxh = ndm.reshape(Tp, nh, nw).transpose(0, 2, 1)  # [Tp, nw, nh]
     ndmr = jnp.stack(
-        [jnp.pad(ndm, ((0, 0), (r * nw, Ks - n - r * nw))) for r in range(_TROWS)]
+        [
+            jnp.pad(nd_dxh, ((0, 0), (0, 0), (r, band - nh - r))).reshape(Tp, Ks)
+            for r in range(_TROWS)
+        ]
     )  # [TR, Tp, Ks]
     ndmr = (
         ndmr.reshape(_TROWS, Tp // Tt, Tt, Ks)
@@ -259,14 +272,24 @@ def _candidates_impl(
     )
 
     # row-banded residency: materialize overlapping image row bands in HBM
-    # (≈2.5× the f32 page — HBM is plentiful; VMEM is the constraint) and
-    # stream one band per grid step. sp/s2p tile cleanly (Hs8 is a multiple
-    # of _TROWS).
+    # (≈3× the f32 page — HBM is plentiful; VMEM is the constraint) and
+    # stream one band per grid step. Bands are assembled from ALIGNED
+    # 8-row chunks (slice + concat of a reshape — contiguous copies), not a
+    # row gather: the [n_bands, band] advanced-index gather this replaces
+    # lowered to ~31k single-row gathers and measured 0.7 ms/page, ~70× the
+    # copy roofline. Band yt needs page rows [8yt, 8yt+band), which chunks
+    # yt..yt+cch-1 cover (cch·8 >= band); the kernel reads rows [0, band) of
+    # its 8·cch-row block and ignores the tail. sp/s2p tile cleanly (Hs8 is
+    # a multiple of _TROWS).
     n_bands = Hs8 // _TROWS
-    ridx = (
-        np.arange(n_bands)[:, None] * _TROWS + np.arange(band)[None, :]
-    )  # [n_bands, band] rows into img_i (Hp = Hs8 + nh - 1 >= max+1)
-    img_t = img_i[:, ridx, :]  # [B, n_bands, band, Wp]
+    cch = -(-band // _TROWS)  # chunks per band
+    Hpad = (n_bands + cch - 1) * _TROWS
+    if Hpad > img_i.shape[1]:
+        img_i = jnp.pad(img_i, ((0, 0), (0, Hpad - img_i.shape[1]), (0, 0)))
+    blocks = img_i[:, :Hpad].reshape(B, n_bands + cch - 1, _TROWS, -1)
+    img_t = jnp.concatenate(
+        [blocks[:, i : i + n_bands] for i in range(cch)], axis=2
+    )  # [B, n_bands, 8·cch, Wp]
     sp_t = sp_f.reshape(B, n_bands, _TROWS, W1)
     s2p_t = s2p_f.reshape(B, n_bands, _TROWS, W1)
     kernel = functools.partial(
@@ -278,7 +301,8 @@ def _candidates_impl(
     # constants, and Mosaic cannot legalize i64 (func.return (i64, i64))
     with jax.enable_x64(False):
         mask_bytes, rcnt_bm = _call_rows(
-            kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, img_t.shape[-1],
+            kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, cch * _TROWS,
+            img_t.shape[-1],
             interpret, thr_arr, img_t, ndmr, sp_t, s2p_t, rtn, sn_n, gmat,
         )
     # band-major [B, n_bands, Tp, TR] -> t-major [B, Tp, Hs8] (scan order)
@@ -595,11 +619,12 @@ def ncc_candidates_pallas_batch(
     )
 
 
-def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, Wp,
+def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, brows, Wp,
                interpret, *args):
     """pallas_call wrapper for the banded kernel: the image input is the
-    pre-banded [B, n_bands, band, Wp] array (one overlapping row band per
-    grid step); outputs are the y-major mask-byte plane [B, Hs8, Tp, WB]
+    pre-banded [B, n_bands, brows, Wp] array (one aligned-chunk row band of
+    brows = 8·cch >= band rows per grid step; the kernel reads the first
+    band rows); outputs are the y-major mask-byte plane [B, Hs8, Tp, WB]
     and the band-major per-mask-row candidate counts
     [B, n_bands, Tp, _TROWS] i32."""
     return pl.pallas_call(
@@ -611,7 +636,7 @@ def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, band, Wp,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, band, Wp), lambda b, i, yt: (b, yt, 0, 0),
+            pl.BlockSpec((1, 1, brows, Wp), lambda b, i, yt: (b, yt, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TROWS, Tt, Ks), lambda b, i, yt: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -651,10 +676,11 @@ def _vmem_rows(H: int, W: int, nw: int, nh: int) -> int:
     W1 = word_stride(W, nw) * 32
     Wp = W1 + nw - 1
     band = _TROWS + nh - 1
+    brows = -(-band // _TROWS) * _TROWS  # aligned-chunk img block rows
     Ks = band * nw
     Tt = 256
     return (
-        2 * 4 * band * Wp  # img band x2 (pipeline double buffering)
+        2 * 4 * brows * Wp  # img band x2 (pipeline double buffering)
         + 2 * 2 * 4 * _TROWS * W1  # sp + s2p bands x2
         + 2 * W1 * (W1 // 8 + 1)  # gmat incl. count column (bf16)
         + 2 * Ks * W1  # bf16 shifted-slice scratch
