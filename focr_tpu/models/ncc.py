@@ -323,7 +323,7 @@ class NccMatcher:
         for g in self.groups:
             if g.nh >= H or g.nw >= W:
                 continue
-            Hs8 = ((H - g.nh + 1 + 7) // 8) * 8
+            Hs8 = pallas_ncc.mask_plane_rows(H, W, g.nw, g.nh)
             Tp = pallas_ncc.pad_t(len(g.needle_ids))
             WB = pallas_ncc.word_stride(W, g.nw) * 8
             per = max(per, Hs8 * Tp * WB)

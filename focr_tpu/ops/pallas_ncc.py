@@ -35,7 +35,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TROWS = 8  # window rows per grid step (sublane-aligned)
+_TROWS = 8  # minimum window rows per grid step (sublane-aligned); the
+# actual band height is picked per config by _pick_trows — 16 when the
+# VMEM budget allows (halving the grid-step count halves the per-step
+# fixed cost, measured ~8µs/step), 8 otherwise (wide/tall needles whose
+# doubled ndmr tiles would blow the budget keep Pallas coverage)
+
+
+def _pick_trows(H: int, W: int, nw: int, nh: int) -> int:
+    """Band height (window rows per grid step) for this config."""
+    if _vmem_rows(H, W, nw, nh, trows=16) < _VMEM_BUDGET:
+        return 16
+    return 8
 
 
 def tile_t(T: int) -> int:
@@ -53,9 +64,9 @@ def pad_t(T: int) -> int:
 
 def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
                  sn_n_ref, gmat_ref, bytes_ref, rcnt_ref, s_ref, *,
-                 nw, nh, W1, Hs, n, Tt):
+                 nw, nh, W1, Hs, n, Tt, tr):
     """Kernel body; grid is (page, needle_tile, row_band) — one
-    _TROWS-window-row band of one Tt-needle tile of one page per step. The
+    tr-window-row band of one Tt-needle tile of one page per step. The
     image input is an overlapping row-band tile [1, 1, TR+nh-1, Wp]
     materialized in HBM by _candidates_impl (≈2.5× the f32 page — HBM is
     plentiful; VMEM is the constraint), so page height never enters the VMEM
@@ -134,16 +145,16 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
     # offset 0; a sublane concat of slices does not lower — "offset mismatch
     # on non-concat dimension"). One bf16 cast of the whole band, then one
     # [band, W1] store per dx.
-    band = _TROWS + nh - 1
-    # the img block is 8·cch >= band rows (aligned-chunk banding); only the
+    band = tr + nh - 1
+    # the img block is tr·cch >= band rows (aligned-chunk banding); only the
     # first band rows belong to this band's window
     imgb = img_ref[0, 0, :band, :].astype(jnp.bfloat16)  # [band, Wp]
     for dx in range(nw):
         s_ref[pl.ds(dx * band, band), :] = imgb[:, dx : dx + W1]
     smat = s_ref[:]  # [Ks, W1]
 
-    for r in range(_TROWS):
-        y = yt * _TROWS + r  # absolute window row (traced scalar)
+    for r in range(tr):
+        y = yt * tr + r  # absolute window row (traced scalar)
         acc = jnp.dot(
             ndmr[0, r], smat, preferred_element_type=jnp.float32
         )  # [Tt, W1] — exact: nonneg integer partial sums < 2^24
@@ -202,7 +213,8 @@ def _candidates_impl(
     n = nw * nh
     Hs = H - nh + 1  # window rows; search domain is y in [1, Hs)
     W1 = word_stride(W, nw) * 32
-    Hs8 = ((Hs + 7) // 8) * 8
+    tr = _pick_trows(H, W, nw, nh)  # band height (16 when VMEM allows)
+    Hs8 = ((Hs + tr - 1) // tr) * tr
 
     # images padded so every im2col slice [y0+dy, dx : dx+W1] is in bounds
     # (Hp >= H and Wp >= W always: Hs8 >= Hs and W1 >= W-nw+1)
@@ -256,17 +268,17 @@ def _candidates_impl(
     # (zero elsewhere) — window row r of a band contracts needle entry
     # (dy, dx) against band slice q = r + dy; with q contiguous per dx the
     # shift r is a per-dx zero-pad along the q axis
-    band = _TROWS + nh - 1
+    band = tr + nh - 1
     Ks = band * nw
     nd_dxh = ndm.reshape(Tp, nh, nw).transpose(0, 2, 1)  # [Tp, nw, nh]
     ndmr = jnp.stack(
         [
             jnp.pad(nd_dxh, ((0, 0), (0, 0), (r, band - nh - r))).reshape(Tp, Ks)
-            for r in range(_TROWS)
+            for r in range(tr)
         ]
-    )  # [TR, Tp, Ks]
+    )  # [tr, Tp, Ks]
     ndmr = (
-        ndmr.reshape(_TROWS, Tp // Tt, Tt, Ks)
+        ndmr.reshape(tr, Tp // Tt, Tt, Ks)
         .transpose(1, 0, 2, 3)
         .astype(jnp.bfloat16)  # integer values ≤ 255: exact
     )
@@ -280,20 +292,20 @@ def _candidates_impl(
     # copy roofline. Band yt needs page rows [8yt, 8yt+band), which chunks
     # yt..yt+cch-1 cover (cch·8 >= band); the kernel reads rows [0, band) of
     # its 8·cch-row block and ignores the tail. sp/s2p tile cleanly (Hs8 is
-    # a multiple of _TROWS).
-    n_bands = Hs8 // _TROWS
-    cch = -(-band // _TROWS)  # chunks per band
-    Hpad = (n_bands + cch - 1) * _TROWS
+    # a multiple of tr).
+    n_bands = Hs8 // tr
+    cch = -(-band // tr)  # chunks per band
+    Hpad = (n_bands + cch - 1) * tr
     if Hpad > img_i.shape[1]:
         img_i = jnp.pad(img_i, ((0, 0), (0, Hpad - img_i.shape[1]), (0, 0)))
-    blocks = img_i[:, :Hpad].reshape(B, n_bands + cch - 1, _TROWS, -1)
+    blocks = img_i[:, :Hpad].reshape(B, n_bands + cch - 1, tr, -1)
     img_t = jnp.concatenate(
         [blocks[:, i : i + n_bands] for i in range(cch)], axis=2
-    )  # [B, n_bands, 8·cch, Wp]
-    sp_t = sp_f.reshape(B, n_bands, _TROWS, W1)
-    s2p_t = s2p_f.reshape(B, n_bands, _TROWS, W1)
+    )  # [B, n_bands, tr·cch, Wp]
+    sp_t = sp_f.reshape(B, n_bands, tr, W1)
+    s2p_t = s2p_f.reshape(B, n_bands, tr, W1)
     kernel = functools.partial(
-        _kernel_rows, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n, Tt=Tt
+        _kernel_rows, nw=nw, nh=nh, W1=W1, Hs=Hs, n=n, Tt=Tt, tr=tr
     )
     grid = (B, Tp // Tt, n_bands)
     # trace the kernel with x64 OFF: under the package-global jax_enable_x64,
@@ -301,11 +313,11 @@ def _candidates_impl(
     # constants, and Mosaic cannot legalize i64 (func.return (i64, i64))
     with jax.enable_x64(False):
         mask_bytes, rcnt_bm = _call_rows(
-            kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, cch * _TROWS,
+            kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, cch * tr, tr,
             img_t.shape[-1],
             interpret, thr_arr, img_t, ndmr, sp_t, s2p_t, rtn, sn_n, gmat,
         )
-    # band-major [B, n_bands, Tp, TR] -> t-major [B, Tp, Hs8] (scan order)
+    # band-major [B, n_bands, Tp, tr] -> t-major [B, Tp, Hs8] (scan order)
     rcnt_tm = rcnt_bm.transpose(0, 2, 1, 3).reshape(B, Tp, Hs8)
     return _compact_hits(mask_bytes, rcnt_tm, B, T, Tp, Hs8, WB, caph)
 
@@ -619,30 +631,30 @@ def ncc_candidates_pallas_batch(
     )
 
 
-def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, brows, Wp,
+def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, brows, tr, Wp,
                interpret, *args):
     """pallas_call wrapper for the banded kernel: the image input is the
     pre-banded [B, n_bands, brows, Wp] array (one aligned-chunk row band of
-    brows = 8·cch >= band rows per grid step; the kernel reads the first
+    brows = tr·cch >= band rows per grid step; the kernel reads the first
     band rows); outputs are the y-major mask-byte plane [B, Hs8, Tp, WB]
     and the band-major per-mask-row candidate counts
-    [B, n_bands, Tp, _TROWS] i32."""
+    [B, n_bands, Tp, tr] i32."""
     return pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
-            jax.ShapeDtypeStruct((B, Hs8 // _TROWS, Tp, _TROWS), jnp.int32),
+            jax.ShapeDtypeStruct((B, Hs8 // tr, Tp, tr), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, brows, Wp), lambda b, i, yt: (b, yt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TROWS, Tt, Ks), lambda b, i, yt: (i, 0, 0, 0),
+            pl.BlockSpec((1, tr, Tt, Ks), lambda b, i, yt: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TROWS, W1), lambda b, i, yt: (b, yt, 0, 0),
+            pl.BlockSpec((1, 1, tr, W1), lambda b, i, yt: (b, yt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TROWS, W1), lambda b, i, yt: (b, yt, 0, 0),
+            pl.BlockSpec((1, 1, tr, W1), lambda b, i, yt: (b, yt, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Tt, 1), lambda b, i, yt: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -652,9 +664,9 @@ def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, brows, Wp,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _TROWS, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
+            pl.BlockSpec((1, tr, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tt, _TROWS), lambda b, i, yt: (b, yt, i, 0),
+            pl.BlockSpec((1, 1, Tt, tr), lambda b, i, yt: (b, yt, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((Ks, W1), jnp.bfloat16)],
@@ -667,27 +679,34 @@ def word_stride(W: int, nw: int) -> int:
     return (W - nw + 1 + 31) // 32
 
 
-def _vmem_rows(H: int, W: int, nw: int, nh: int) -> int:
-    """VMEM bytes for the banded kernel (_kernel_rows): only one _TROWS-row
-    band is resident (double-buffered), so the page height drops out
-    entirely — tall pages stream through. Width still enters via the gmat
-    packing matrix (quadratic in W1). Tt is taken at its 256 maximum (the
-    needle count is not known here)."""
+def mask_plane_rows(H: int, W: int, nw: int, nh: int) -> int:
+    """Padded mask-plane row count (Hs rounded to the band height this
+    config will run at) — for callers sizing device-memory budgets."""
+    tr = _pick_trows(H, W, nw, nh)
+    return ((H - nh + 1 + tr - 1) // tr) * tr
+
+
+def _vmem_rows(H: int, W: int, nw: int, nh: int, trows: int = _TROWS) -> int:
+    """VMEM bytes for the banded kernel (_kernel_rows) at band height
+    trows: only one band is resident (double-buffered), so the page height
+    drops out entirely — tall pages stream through. Width still enters via
+    the gmat packing matrix (quadratic in W1). Tt is taken at its 256
+    maximum (the needle count is not known here)."""
     W1 = word_stride(W, nw) * 32
     Wp = W1 + nw - 1
-    band = _TROWS + nh - 1
-    brows = -(-band // _TROWS) * _TROWS  # aligned-chunk img block rows
+    band = trows + nh - 1
+    brows = -(-band // trows) * trows  # aligned-chunk img block rows
     Ks = band * nw
     Tt = 256
     return (
         2 * 4 * brows * Wp  # img band x2 (pipeline double buffering)
-        + 2 * 2 * 4 * _TROWS * W1  # sp + s2p bands x2
+        + 2 * 2 * 4 * trows * W1  # sp + s2p bands x2
         + 2 * W1 * (W1 // 8 + 1)  # gmat incl. count column (bf16)
         + 2 * Ks * W1  # bf16 shifted-slice scratch
-        + 2 * 2 * _TROWS * Tt * Ks  # shifted needle tiles x2 (bf16)
+        + 2 * 2 * trows * Tt * Ks  # shifted needle tiles x2 (bf16)
         + 2 * 4 * Tt * W1  # acc + num transients
-        + 2 * _TROWS * Tt * (W1 // 8)  # bytes out block x2
-        + 2 * 4 * _TROWS * Tt  # rcnt out block x2
+        + 2 * trows * Tt * (W1 // 8)  # bytes out block x2
+        + 2 * 4 * trows * Tt  # rcnt out block x2
     )
 
 
