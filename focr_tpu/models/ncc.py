@@ -722,7 +722,14 @@ class NccMatcher:
                     ]
                     plans[gi] = (grp, "xla", outs)
                 if measure is not None:
-                    device_force(outs)
+                    # fence by FULL fetch, not device_force: a pure transfer
+                    # of existing buffers involves no host-side jit compile,
+                    # so no one-time trace/compile of the fence reduction can
+                    # land inside the measured span (the pipeline re-fetches
+                    # these buffers later; double-fetch is part of sync
+                    # mode's documented cost)
+                    jax.block_until_ready(outs)
+                    jax.device_get(outs)
                     key = (grp.nh, grp.nw)
                     measure[key] = measure.get(key, 0.0) + time.perf_counter() - tg
             if fspecs:

@@ -67,9 +67,11 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
                  nw, nh, W1, Hs, n, Tt, tr):
     """Kernel body; grid is (page, needle_tile, row_band) — one
     tr-window-row band of one Tt-needle tile of one page per step. The
-    image input is an overlapping row-band tile [1, 1, TR+nh-1, Wp]
-    materialized in HBM by _candidates_impl (≈2.5× the f32 page — HBM is
-    plentiful; VMEM is the constraint), so page height never enters the VMEM
+    image input is an overlapping row-band tile [1, 1, tr·cch, Wp] (the
+    first band = tr+nh-1 rows are this band's window; the aligned-chunk
+    tail is ignored) materialized in HBM by _candidates_impl (≈3× the f32
+    page — HBM is plentiful; VMEM is the constraint), so page height never
+    enters the VMEM
     budget and arbitrarily tall pages stream through (SURVEY.md §7 stage 4 —
     the reference's per-row loop, ncc.cpp:98-100, as a banded grid).
 
@@ -289,9 +291,10 @@ def _candidates_impl(
     # 8-row chunks (slice + concat of a reshape — contiguous copies), not a
     # row gather: the [n_bands, band] advanced-index gather this replaces
     # lowered to ~31k single-row gathers and measured 0.7 ms/page, ~70× the
-    # copy roofline. Band yt needs page rows [8yt, 8yt+band), which chunks
-    # yt..yt+cch-1 cover (cch·8 >= band); the kernel reads rows [0, band) of
-    # its 8·cch-row block and ignores the tail. sp/s2p tile cleanly (Hs8 is
+    # copy roofline. Band yt needs page rows [tr·yt, tr·yt+band), which
+    # chunks yt..yt+cch-1 cover (cch·tr >= band); the kernel reads rows
+    # [0, band) of its tr·cch-row block and ignores the tail. sp/s2p tile
+    # cleanly (Hs8 is
     # a multiple of tr).
     n_bands = Hs8 // tr
     cch = -(-band // tr)  # chunks per band
@@ -723,8 +726,9 @@ def pallas_mode(H: int, W: int, nw: int, nh: int) -> str | None:
         return None
     if nh * nw * 65025 >= 2**24:
         return None  # acc/sp/s2p must be exact in f32 (no in-kernel nibble split)
-    if H * nw * 65025 >= 2**31:
-        return None  # window_stats would need i64 (f32 stats lose exactness)
+    # no page-height gate: under the n·65025 < 2²⁴ bound above, window_stats
+    # takes its MXU path (banded-selector matmul + nh-term adds), which
+    # never forms H-length cumsums — arbitrarily tall pages stay exact
     if _vmem_rows(H, W, nw, nh) < _VMEM_BUDGET:
         return "rows"
     return None

@@ -247,6 +247,38 @@ def test_pallas_banded_matcher_matches_oracle(mono_font_path):
     assert key(hp) == key(ho)
 
 
+def test_pallas_very_tall_page_matches_oracle(mono_font_path):
+    """Pages beyond the old ~4100-row ceiling (H·nw·65025 >= 2^31, where the
+    retired i32-cumsum window_stats gate kicked in) now stream through the
+    banded Pallas kernel — the MXU window_stats path has no height-dependent
+    bound. Differential vs the oracle, with corner ink pinning the crop to
+    the full page height so the tall path is genuinely exercised."""
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=13.0)
+    dopts = DecodeOptions(x_start=4, y_start=8, line_height=12, line_advance=15, width=80)
+    H, W = 4200, 90
+    page = synthesize_page(face, ["AX+", "+XA"], dopts, ropts, "AX+", (H, W)).copy()
+    page[1, 1] = 0
+    page[H - 2, W - 2] = 0  # ink at both ends: the crop spans the full height
+    m = NccMatcher(face, "AX+", ropts, x_bits=0, threshold=0.8, device_kernel="pallas")
+    tall_gated = False
+    for g in m.groups:
+        assert pallas_ncc.pallas_mode(H, W, g.nw, g.nh) == "rows"
+        tall_gated |= H * g.nw * 65025 >= 2**31
+    assert tall_gated  # at least one group crosses the retired gate's bound
+    hp = m.get_hits(page)
+    ho = m.get_hits_oracle(page)
+    assert len(hp) > 0
+    key = lambda hs: [
+        (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes()) for h in hs
+    ]
+    assert key(hp) == key(ho)
+
+
 def test_ink_bbox_crop_parity(mono_font_path):
     """Pages with ink confined to a small interior region sweep only the
     ink-bbox crop on device (uploading ~an order of magnitude fewer bytes),
@@ -349,9 +381,9 @@ def test_pallas_mode_selection():
     assert pallas_ncc.pallas_mode(2500, 2000, 17, 13) is None  # needle too wide
     assert pallas_ncc.pallas_mode(100, 100_000, 9, 13) is None  # gmat quadratic
     assert pallas_ncc.pallas_supported(4000, 2000, 8, 5, 0.8)  # tall: streams
-    # beyond ~4100 rows (nw=8) the window_stats i32-exactness gate still
-    # applies — tiling lifts the VMEM ceiling, not the integer-range one
-    assert pallas_ncc.pallas_mode(8000, 2000, 8, 5) is None
+    # no height ceiling: the MXU window_stats path never forms H-length
+    # cumsums, so very tall pages stream through the banded kernel too
+    assert pallas_ncc.pallas_mode(8000, 2000, 8, 5) == "rows"
 
 
 def test_pallas_unsupported_configs():
