@@ -93,7 +93,8 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
     integer as before.
 
     thr    [1, 1]               f32  (threshold - ε), SMEM
-    img    [1, 1, TR+nh-1, Wp]  f32  row band: page rows [yt*TR, …+TR+nh-1)
+    img    [1, 1, tr·cch, Wp]   f32  row band: page rows [yt·tr, …+tr+nh-1)
+                                     in its first tr+nh-1 rows
     ndmr   [1, TR, Tt, Ks]      bf16 shifted needle tiles, Ks = (TR+nh-1)·nw
     sp     [1, 1, TR, W1]       f32  window Σp rows of this band (row 0 of
                                      the page zeroed => y=0 excluded)
