@@ -128,15 +128,26 @@ def bench_focr_device(dec, pages: np.ndarray, reps: int) -> tuple[float, float]:
 
     Isolates the SSD matmul pipeline from the transport: every rep's strip
     buffer is pre-uploaded (distinct content — the transport dedups repeats),
-    then all forwards are enqueued and blocked ONCE (per-call timing through
+    then all forwards are enqueued and fenced ONCE (per-call timing through
     the tunnel would be ~100x off, see .claude/skills/verify). MFU counts
     only the metric contraction (windows x templates MACs), the dominant
-    term, against the v5e bf16 peak."""
+    term, against the v5e bf16 peak.
+
+    The page axis is replicated 2x per call (permuted copies — more would
+    push the per-rep strip buffer past the ~32MB single-transfer collapse):
+    the forward itself is sub-ms, so at small B the region is dominated by
+    the ~1 ms per-call host enqueue and the ~30 ms fence RTT. This metric is
+    a LOWER bound on device rate with those floors amortized as far as
+    upload time permits, not a pure-chip number (no co-located host exists
+    to measure one)."""
     import jax
     import jax.numpy as jnp
 
     from focr_tpu.models.focr import crop_strips
 
+    pages = np.concatenate(
+        [pages, pages[np.random.default_rng(31).permutation(len(pages))]]
+    )
     B = pages.shape[0]
     sizes = [B * len(g.ys) * g.crop_h * dec.crop_w for g, _ in dec.groups]
 
