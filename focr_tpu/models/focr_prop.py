@@ -171,6 +171,10 @@ class PropDecoder:
         self.n_steps = max_steps(bank, crop_w)
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self._fn = jax.jit(make_prop_forward(bank, crop_w, self.n_steps))
+        # fetch-prefix guess (step rows, a chunk multiple): starts at the
+        # full buffer, then tracks the longest observed line + one chunk of
+        # margin — see decode_lines
+        self._guess = -(-self.n_steps // _CHUNK) * _CHUNK
 
     def decode_lines(self, strips: np.ndarray) -> list[str]:
         """strips: [L, crop_h, crop_w] INVERTED line crops -> decoded texts."""
@@ -192,13 +196,33 @@ class PropDecoder:
             )
         else:
             strips_j = jnp.asarray(strips)
-        buf, ci = self._fn(strips_j)  # buf [n_chunks*_CHUNK, Lp] u8 step-major
-        # fetch only the executed-chunk prefix: ci is a tiny scalar round
-        # trip, then the device slices the buffer before the (d2h-bound)
-        # transfer — the early-exit typically leaves ~40% of the worst-case
-        # step buffer dead
-        n_run = int(ci) * _CHUNK
-        ids = np.asarray(buf[:n_run]).T[:L]  # [L, n_run]
+        buf, _ci = self._fn(strips_j)  # buf [n_chunks*_CHUNK, Lp] u8 step-major
+        # fetch a GUESSED prefix with no synchronous round trip: rows past
+        # the executed chunks (and past each line's end) are _END_ID-filled
+        # by construction (buf0 fill + the early-exit cond), so over-fetching
+        # is parity-neutral and an under-fetch is DETECTABLE host-side — a
+        # real row with no _END_ID inside the prefix may continue, so fetch
+        # the remainder (rare: only when a line outgrows all history). The
+        # previous scheme fetched the executed-prefix length ci first, which
+        # cost a tiny-scalar d2h round trip (~30 ms on the remote transport)
+        # plus a fresh slice executable per new ci value, serialized before
+        # every batch's (d2h-bound) transfer. The guess is a chunk multiple
+        # tracking the longest observed line + one chunk of margin, so the
+        # slice shape — and its compiled executable — is stable in steady
+        # state.
+        total = buf.shape[0]
+        guess = min(self._guess, total)
+        ids = np.asarray(buf[:guess]).T[:L]  # [L, guess]
+        if guess < total and not (ids == _END_ID).any(axis=1).all():
+            rest = np.asarray(buf[guess:]).T[:L]
+            ids = np.concatenate([ids, rest], axis=1)
+        if L:
+            row_ends = ids == _END_ID
+            if row_ends.any(axis=1).all():
+                longest = int(row_ends.argmax(axis=1).max()) + 1
+            else:  # some line consumed every step
+                longest = ids.shape[1]
+            self._guess = min(total, (-(-longest // _CHUNK) + 1) * _CHUNK)
         alphabet = self.bank.alphabet
         out = []
         for row in ids:
