@@ -1,0 +1,74 @@
+"""Real-backend bit-parity spot check (not collected by pytest).
+
+The CI suite runs the Pallas kernel in INTERPRET mode (CPU); this script
+replays a handful of randomized differential configs — mirroring
+tests/test_fuzz_parity.py::test_fuzz_ncc_device_vs_oracle — on the DEFAULT
+backend (the real TPU when available), so actual Mosaic lowering of the
+kernel (layouts, relayouts, MXU paths) is held to the same hit-for-hit
+standard as interpret mode. Small pages keep the tunnel load modest.
+
+Usage: python tools/tpu_parity_spot.py [n_configs=10]
+Exit 1 on any mismatch (a bit-parity bug by definition).
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from focr_tpu.fonts.ft import Face
+from focr_tpu.models.types import BoxSize, DecodeOptions, RenderOptions
+
+FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
+
+
+def main() -> int:
+    import jax
+
+    from focr_tpu.io.synth import random_text_lines, synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    print(f"backend={jax.default_backend()}", file=sys.stderr)
+    face = Face(FONT)
+    bad = 0
+    for seed in range(n):
+        rng = np.random.default_rng(9000 + seed)
+        ropts = RenderOptions(size=float(rng.choice([9.0, 11.0, 13.0])))
+        dopts = DecodeOptions(
+            x_start=int(rng.integers(0, 8)),
+            y_start=int(rng.integers(0, 8)),
+            line_height=int(rng.integers(10, 16)),
+            line_advance=int(rng.integers(14, 19)),
+            width=int(rng.integers(60, 120)),
+        )
+        alphabet = "".join(rng.choice(list("ABXab01+/=:"), size=5, replace=False))
+        shape = (int(rng.integers(48, 90)), int(rng.integers(90, 150)))
+        lines = random_text_lines(rng, alphabet, int(rng.integers(1, 4)), 6)
+        page = synthesize_page(face, lines, dopts, ropts, alphabet, shape).copy()
+        mask = rng.random(page.shape) < 0.02
+        page[mask] = rng.integers(0, 256, int(mask.sum()), dtype=np.uint8)
+        m = NccMatcher(
+            face, alphabet, ropts,
+            box_size=BoxSize(rng.choice(["font", "alphabet", "char"])),
+            x_bits=int(rng.integers(0, 2)), y_bits=int(rng.integers(0, 2)),
+            threshold=float(rng.uniform(0.3, 0.9)),
+        )
+        hd = m.get_hits(page)
+        ho = m.get_hits_oracle(page)
+        key = lambda hs: [
+            (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes())
+            for h in hs
+        ]
+        ok = key(hd) == key(ho)
+        bad += not ok
+        print(f"config {seed}: {len(hd)} hits {'OK' if ok else 'MISMATCH'}",
+              file=sys.stderr)
+    print(f"{'PASS' if not bad else 'FAIL'}: {n - bad}/{n} configs bit-identical",
+          file=sys.stderr)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
