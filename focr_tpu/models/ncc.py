@@ -428,12 +428,17 @@ class NccMatcher:
 
         wave = self._wave_for(pages)
         out: list = []
-        # a worker thread blocks on each wave's device_get so the transfer of
-        # wave k overlaps the host replay of wave k-1; the replay itself runs
-        # page-parallel (the exact-f64 replay is C++/NumPy releasing the GIL).
+        # three pipeline stages on three threads: a DISPATCH worker does the
+        # invert/crop + synchronous upload + enqueue (the upload blocks on the
+        # link for ~190ms/wave — CPU-idle wait that must not serialize with
+        # the replay), a FETCH worker blocks on each wave's device_get, and
+        # the main thread replays (page-parallel — the exact-f64 replay is
+        # C++/NumPy releasing the GIL). Steady-state wall per wave is then
+        # max(upload, device, fetch, replay) instead of upload + replay.
         # verbose stays serial: its per-search stderr lines must interleave in
         # reference order.
         with (
+            cf.ThreadPoolExecutor(max_workers=1) as dpool,
             cf.ThreadPoolExecutor(max_workers=1) as pool,
             cf.ThreadPoolExecutor(max_workers=4) as cpool,
         ):
@@ -448,15 +453,18 @@ class NccMatcher:
 
             from collections import deque
 
-            # up to 2 waves in flight: the upload of wave k+2 streams while
-            # wave k's results drain d2h, so the half-duplex-ish tunnel link
-            # never idles during collect. Bounded depth on purpose: unbounded
-            # dispatch has tripped device FailedPrecondition on long corpora.
+            # up to 2 waves in flight beyond the one being collected: the
+            # upload of wave k+2 streams while wave k's results drain d2h, so
+            # the half-duplex-ish tunnel link never idles during collect.
+            # Bounded depth on purpose: unbounded dispatch has tripped device
+            # FailedPrecondition on long corpora.
             depth = int(os.environ.get("FOCR_NCC_DEPTH", "2"))
             pending: deque[cf.Future] = deque()
             for s in range(0, len(pages), wave):
-                dispatched = self._dispatch_wave(pages[s : s + wave])
-                pending.append(pool.submit(self._fetch_wave, dispatched))
+                dfut = dpool.submit(self._dispatch_wave, pages[s : s + wave])
+                pending.append(
+                    pool.submit(lambda f=dfut: self._fetch_wave(f.result()))
+                )
                 if len(pending) > depth:
                     out.extend(collect_wave(pending.popleft().result()))
             while pending:
