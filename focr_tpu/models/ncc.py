@@ -528,24 +528,35 @@ class NccMatcher:
             # page-parallel collect like get_hits_many: the exact-f64 replay
             # + fused post would otherwise serialize the whole wave on the
             # main thread while every chip idles (verbose stays serial for
-            # reference-ordered stderr)
-            with cf.ThreadPoolExecutor(max_workers=4) as cpool:
-                def collect_wave(disp) -> list:
-                    fetched = fetch_scatter(disp)
+            # reference-ordered stderr). Dispatch (invert/crop + blocking
+            # uploads to every chip) runs on its own worker thread for the
+            # same reason as get_hits_many: the upload wait must overlap the
+            # replay, not serialize with it.
+            with (
+                cf.ThreadPoolExecutor(max_workers=1) as dpool,
+                cf.ThreadPoolExecutor(max_workers=4) as cpool,
+            ):
+                def dispatch_scatter(sub):
+                    return (
+                        [
+                            (d, self._dispatch_wave(sub[d::D], device=devices[d]))
+                            for d in range(D)
+                            if sub[d::D]
+                        ],
+                        len(sub),
+                    )
+
+                def collect_wave(dfut) -> list:
+                    fetched = fetch_scatter(dfut.result())
                     if verbose:
                         return [collect(d) for d in fetched]
                     return list(cpool.map(collect, fetched))
 
                 for s in range(0, len(pages), wave):
-                    sub = pages[s : s + wave]
-                    sub_waves = [
-                        (d, self._dispatch_wave(sub[d::D], device=devices[d]))
-                        for d in range(D)
-                        if sub[d::D]
-                    ]
+                    dfut = dpool.submit(dispatch_scatter, pages[s : s + wave])
                     if pending is not None:
                         out.extend(collect_wave(pending))
-                    pending = (sub_waves, len(sub))
+                    pending = dfut
                 if pending is not None:
                     out.extend(collect_wave(pending))
             return out
