@@ -370,7 +370,11 @@ def main() -> None:
 
     from focr_tpu.fonts.ft import Face
 
-    reps = int(os.environ.get("BENCH_REPS", "7"))
+    # 11 reps: _spread's p05 is the MINIMUM draw at 7 reps but the
+    # second-worst at 11+, so the recorded p05 stops being a single
+    # worst-RPC artifact; the extra draws cost ~10s against the transport's
+    # several-fold window swing
+    reps = int(os.environ.get("BENCH_REPS", "11"))
     face = Face(FONT)
 
     focr_pps, focr_spread, dev_pps, dev_mfu = _retry_once(

@@ -183,6 +183,23 @@ def _winner_arrays(hs, anchor_threshold: float, overlap: int):
     ov = min(int(overlap), xmax + 1)
     xbits = max(17, (xmax + max(ov, 0) + 2).bit_length())
     key = (y.astype(np.int64) << xbits) + x.astype(np.int64)
+
+    try:
+        from focr_tpu.native import ncc_cpu
+
+        if ncc_cpu.available():
+            # fused native path: stable radix sort + winner scan in one C
+            # call over the UNSORTED hits, returning winners' original
+            # indices in run order — skips the comparison argsort and the
+            # five full-array gathers below (identical output, pinned by
+            # tests/test_post.py::test_winner_arrays_native_matches_numpy)
+            widx = ncc_cpu.post_sort_winners(key, sim, ov)
+            wy = y[widx]
+            line_bounds = np.flatnonzero(np.diff(wy)) + 1
+            return nid[widx], x[widx], wy, sim[widx], line_bounds
+    except Exception:  # noqa: BLE001 - toolchain missing: degrade gracefully
+        pass
+
     order = np.argsort(key, kind="stable")
     lkey, lx, lsim, lnid, lyy = (
         key[order], x[order], sim[order], nid[order], y[order]

@@ -102,6 +102,12 @@ def load() -> ctypes.CDLL:
                 ctypes.c_int64, ctypes.c_int64,  # n, overlap
                 ctypes.c_void_p,  # win_out
             ]
+            lib.focr_post_sort_winners.restype = ctypes.c_int64
+            lib.focr_post_sort_winners.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p,  # key, sim
+                ctypes.c_int64, ctypes.c_int64,  # n, overlap
+                ctypes.c_void_p,  # win_out
+            ]
             _LIB = lib
             return lib
         except Exception as e:  # noqa: BLE001 - cache and re-raise

@@ -156,6 +156,27 @@ def replay_group(
     return out_x, out_y, out_sim, counts, warn
 
 
+def post_sort_winners(key: np.ndarray, sim: np.ndarray, overlap: int) -> np.ndarray:
+    """Fused stable radix sort + overlap-run winner scan over UNSORTED hits
+    (models/post.py::_winner_arrays): ``key`` is the composite
+    (y << xbits) + x key per hit in engine order, ``sim`` the f32
+    similarities. Returns each run winner's ORIGINAL index, in run (key)
+    order — same selection as sorting stably then running post_winners, in
+    one native call (no NumPy argsort, no full-array gathers)."""
+    lib = load()
+    key = np.ascontiguousarray(key, dtype=np.int64)
+    sim = np.ascontiguousarray(sim, dtype=np.float32)
+    n = len(key)
+    out = np.empty(n, dtype=np.int64)
+    nr = lib.focr_post_sort_winners(
+        key.ctypes.data_as(ctypes.c_void_p),
+        sim.ctypes.data_as(ctypes.c_void_p),
+        n, int(overlap),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:nr]
+
+
 def post_winners(key: np.ndarray, sim: np.ndarray, overlap: int) -> np.ndarray:
     """Native overlap-run winner scan (models/post.py): ``key`` is the
     composite (y << xbits) + x sort key (i64, ascending), ``sim`` the f32
@@ -177,6 +198,6 @@ def post_winners(key: np.ndarray, sim: np.ndarray, overlap: int) -> np.ndarray:
 
 
 __all__ = [
-    "NativeSearcher", "available", "post_winners",
+    "NativeSearcher", "available", "post_sort_winners", "post_winners",
     "replay_group",
 ]

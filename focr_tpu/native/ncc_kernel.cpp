@@ -20,6 +20,7 @@
 // Zero-variance patches produce rnorm_p = inf and num = 0, so sim = nan and
 // the comparison filters them — no special-casing, matching the reference.
 
+#include <algorithm>
 #include <cstdint>
 #include <cmath>
 #include <limits>
@@ -330,6 +331,66 @@ int64_t focr_post_winners(
             if (sim[j] >= best) {  // last max wins ties
                 best = sim[j];
                 bi = j;
+            }
+            ++j;
+        }
+        win_out[nr++] = bi;
+        i = j;
+    }
+    return nr;
+}
+
+// Fused sort + winner scan over UNSORTED hits: stable LSD radix sort of the
+// composite (y << xbits) + x keys (16-bit digits; stability = the
+// reference's stable sort_by_key passes, which the run anchor and last-max
+// tie-break both depend on), then the focr_post_winners run scan over the
+// sorted order. Emits each run winner's ORIGINAL index, in run (key) order.
+// Replaces NumPy's comparison argsort + five full-array gathers in
+// models/post.py::_winner_arrays — on a dense page (~27k hits) the argsort
+// alone was ~20% of the host collect budget. Keys are non-negative.
+int64_t focr_post_sort_winners(
+    const int64_t* key, const float* sim, int64_t n, int64_t overlap,
+    int64_t* win_out) {
+    if (n <= 0) return 0;
+    struct KI {
+        int64_t k;
+        int32_t i;
+    };
+    std::vector<KI> a(static_cast<size_t>(n)), b(static_cast<size_t>(n));
+    int64_t maxk = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        a[i].k = key[i];
+        a[i].i = static_cast<int32_t>(i);
+        if (key[i] > maxk) maxk = key[i];
+    }
+    int passes = 1;  // only digits the max key reaches (page keys fit 3)
+    while (passes < 4 && (maxk >> (16 * passes)) != 0) ++passes;
+    std::vector<int64_t> cnt(1 << 16);
+    for (int p = 0; p < passes; ++p) {
+        const int sh = 16 * p;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; ++i) ++cnt[(a[i].k >> sh) & 0xffff];
+        int64_t run = 0;
+        for (int64_t d = 0; d < (1 << 16); ++d) {
+            const int64_t c = cnt[d];
+            cnt[d] = run;
+            run += c;
+        }
+        for (int64_t i = 0; i < n; ++i) b[cnt[(a[i].k >> sh) & 0xffff]++] = a[i];
+        a.swap(b);
+    }
+    int64_t nr = 0;
+    int64_t i = 0;
+    while (i < n) {
+        const int64_t anchor = a[i].k;
+        float best = sim[a[i].i];
+        int32_t bi = a[i].i;
+        int64_t j = i + 1;
+        while (j < n && a[j].k - anchor <= overlap) {
+            const float s = sim[a[j].i];
+            if (s >= best) {  // last max wins ties
+                best = s;
+                bi = a[j].i;
             }
             ++j;
         }

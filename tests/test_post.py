@@ -59,6 +59,55 @@ def test_run_winners_native_matches_numpy(seed, ov):
     np.testing.assert_array_equal(_run_winners(key, sim, ov, N), a)
 
 
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("ov", [-3, 0, 1, 5, 70000])
+def test_post_sort_winners_matches_sort_then_scan(seed, ov):
+    """The fused native radix-sort+scan must equal a stable argsort followed
+    by the sorted-input winner scan, mapped back to original indices —
+    including duplicate keys (stability surface) and similarity ties."""
+    if not ncc_cpu.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(100 + seed)
+    N = int(rng.integers(1, 4000))
+    # UNSORTED keys with duplicates across simulated needle groups
+    ys = rng.integers(0, 7, N).astype(np.int64) << 17
+    xs = rng.integers(0, 600, N).astype(np.int64)
+    key = ys + xs
+    sim = (rng.integers(0, 8, N) / 8.0).astype(np.float32)
+    got = ncc_cpu.post_sort_winners(key, sim, ov)
+    order = np.argsort(key, kind="stable")
+    widx_sorted = _numpy_winners(key[order], sim[order], ov, N)
+    np.testing.assert_array_equal(got, order[widx_sorted])
+
+
+def test_winner_arrays_native_matches_numpy(monkeypatch):
+    """Full _winner_arrays parity: the fused native path and the pure-NumPy
+    path must return identical winner arrays and line bounds."""
+    if not ncc_cpu.available():
+        pytest.skip("native toolchain unavailable")
+    from focr_tpu.models.ncc import HitStruct
+    from focr_tpu.models.post import _winner_arrays
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        N = int(rng.integers(1, 3000))
+        nid = np.sort(rng.integers(0, 50, N)).astype(np.int32)
+        x = rng.integers(0, 600, N).astype(np.int64)
+        y = (rng.integers(0, 8, N) * 15 + 9).astype(np.int64)
+        sim = (rng.integers(70, 101, N) / 100.0).astype(np.float32)
+        hs = HitStruct(needle_id=nid, x=x, y=y, sim=sim, matcher=None)
+        for ov in (-1, 0, 5, 40):
+            a = _winner_arrays(hs, 0.95, ov)
+            monkeypatch.setattr(ncc_cpu, "available", lambda: False)
+            b = _winner_arrays(hs, 0.95, ov)
+            monkeypatch.undo()
+            assert (a is None) == (b is None), f"trial {trial} ov {ov}"
+            if a is None:
+                continue
+            for ai, bi in zip(a, b):
+                np.testing.assert_array_equal(ai, bi, err_msg=f"trial {trial} ov {ov}")
+
+
 def test_run_winners_numpy_fallback_used_when_native_missing(monkeypatch):
     """The gate degrades to NumPy (not an exception) without the toolchain."""
     monkeypatch.setattr(ncc_cpu, "available", lambda: False)
