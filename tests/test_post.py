@@ -80,6 +80,27 @@ def test_post_sort_winners_matches_sort_then_scan(seed, ov):
     np.testing.assert_array_equal(got, order[widx_sorted])
 
 
+@pytest.mark.parametrize("shift", [33, 49])
+def test_post_sort_winners_multipass_keys(shift):
+    """Keys past 2^32 / 2^48 force the radix sort's 3rd and 4th 16-bit
+    digit passes (focr_post_sort_winners's `passes` loop) — the realistic
+    page-key tests above stop at 2 passes, so a digit-offset bug in the
+    upper passes would be invisible to them."""
+    if not ncc_cpu.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(shift)
+    N = 2500
+    ys = rng.integers(0, 7, N).astype(np.int64) << shift
+    xs = rng.integers(0, 600, N).astype(np.int64)
+    key = ys + xs
+    sim = (rng.integers(0, 8, N) / 8.0).astype(np.float32)
+    for ov in (0, 5):
+        got = ncc_cpu.post_sort_winners(key, sim, ov)
+        order = np.argsort(key, kind="stable")
+        widx_sorted = _numpy_winners(key[order], sim[order], ov, N)
+        np.testing.assert_array_equal(got, order[widx_sorted])
+
+
 def test_winner_arrays_native_matches_numpy(monkeypatch):
     """Full _winner_arrays parity: the fused native path and the pure-NumPy
     path must return identical winner arrays and line bounds."""
