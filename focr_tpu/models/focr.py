@@ -344,7 +344,10 @@ def _cached_decoder(face, alphabet, dopts, ropts, shape, mesh) -> GridDecoder:
     re-trace its jitted closures (and re-pay a compile round trip off-chip)
     even though the template banks are disk-cached. LRU-evicted so a
     mixed-shape corpus never drops its hot (dominant-bucket) decoder."""
-    key = (face.path, alphabet, dopts, ropts, shape, id(mesh) if mesh else None)
+    # the mesh keys by VALUE (jax.sharding.Mesh hashes devices + axis names):
+    # an id() key could silently reuse a decoder compiled for a dead mesh
+    # whose address a different mesh later reuses
+    key = (face.path, alphabet, dopts, ropts, shape, mesh)
     dec = _DECODER_CACHE.get(key)
     if dec is None:
         dec = GridDecoder(face, alphabet, dopts, ropts, shape, mesh=mesh)

@@ -171,10 +171,16 @@ class PropDecoder:
         self.n_steps = max_steps(bank, crop_w)
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self._fn = jax.jit(make_prop_forward(bank, crop_w, self.n_steps))
-        # fetch-prefix guess (step rows, a chunk multiple): starts at the
-        # full buffer, then tracks the longest observed line + one chunk of
-        # margin — see decode_lines
-        self._guess = -(-self.n_steps // _CHUNK) * _CHUNK
+        # fetch-prefix guess (step rows, a POWER-OF-TWO chunk multiple):
+        # starts at the full buffer, then tracks the longest observed line +
+        # one chunk of margin rounded up to the next power of two — the
+        # pow-2 ladder bounds the distinct prefix-slice shapes to
+        # log2(n_chunks), and every rung is pre-compiled the first time a
+        # buffer shape appears (see decode_lines), so a guess change never
+        # lands a fresh compile inside a timed corpus run
+        self._n_chunks = -(-self.n_steps // _CHUNK)
+        self._guess = self._n_chunks * _CHUNK
+        self._warmed: set[tuple] = set()  # buf shapes with the ladder compiled
 
     def decode_lines(self, strips: np.ndarray) -> list[str]:
         """strips: [L, crop_h, crop_w] INVERTED line crops -> decoded texts."""
@@ -201,28 +207,43 @@ class PropDecoder:
         # the executed chunks (and past each line's end) are _END_ID-filled
         # by construction (buf0 fill + the early-exit cond), so over-fetching
         # is parity-neutral and an under-fetch is DETECTABLE host-side — a
-        # real row with no _END_ID inside the prefix may continue, so fetch
-        # the remainder (rare: only when a line outgrows all history). The
-        # previous scheme fetched the executed-prefix length ci first, which
-        # cost a tiny-scalar d2h round trip (~30 ms on the remote transport)
-        # plus a fresh slice executable per new ci value, serialized before
-        # every batch's (d2h-bound) transfer. The guess is a chunk multiple
-        # tracking the longest observed line + one chunk of margin, so the
-        # slice shape — and its compiled executable — is stable in steady
-        # state.
+        # real row with no _END_ID inside the prefix may continue, so refetch
+        # (rare: only when a line outgrows all history). The previous scheme
+        # fetched the executed-prefix length ci first, which cost a
+        # tiny-scalar d2h round trip (~30 ms on the remote transport) plus a
+        # fresh slice executable per new ci value, serialized before every
+        # batch's (d2h-bound) transfer.
         total = buf.shape[0]
+        if buf.shape not in self._warmed:
+            # pre-compile EVERY prefix-slice executable this buffer shape can
+            # ever use (the pow-2 ladder; dispatch-only, nothing fetched): a
+            # guess change mid-corpus then reuses a warm executable instead
+            # of compiling through the remote transport — one cold compile
+            # inside a timed rep measured as a ~50x rep-latency tail
+            c = 1
+            while c * _CHUNK < total:
+                buf[: c * _CHUNK]
+                c *= 2
+            self._warmed.add(buf.shape)
         guess = min(self._guess, total)
-        ids = np.asarray(buf[:guess]).T[:L]  # [L, guess]
+        pref = buf[:guess] if guess < total else buf
+        ids = np.asarray(pref).T[:L]  # [L, guess]
         if guess < total and not (ids == _END_ID).any(axis=1).all():
-            rest = np.asarray(buf[guess:]).T[:L]
-            ids = np.concatenate([ids, rest], axis=1)
+            # under-guess: refetch the WHOLE buffer — a plain transfer with
+            # no slice executable at all, so the miss path never compiles
+            # (a guess-to-end remainder slice would have a fresh shape)
+            ids = np.asarray(buf).T[:L]
         if L:
             row_ends = ids == _END_ID
             if row_ends.any(axis=1).all():
                 longest = int(row_ends.argmax(axis=1).max()) + 1
             else:  # some line consumed every step
                 longest = ids.shape[1]
-            self._guess = min(total, (-(-longest // _CHUNK) + 1) * _CHUNK)
+            chunks = -(-longest // _CHUNK) + 1  # + one chunk of margin
+            c = 1
+            while c < chunks:
+                c *= 2
+            self._guess = min(total, c * _CHUNK)
         alphabet = self.bank.alphabet
         out = []
         for row in ids:

@@ -16,6 +16,7 @@ Per page:
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -137,6 +138,25 @@ def _wave_size() -> int | None:
     """Explicit FOCR_NCC_WAVE override, else None (callers auto-size)."""
     env = os.environ.get("FOCR_NCC_WAVE")
     return int(env) if env else None
+
+
+@functools.lru_cache(maxsize=1)
+def _hbm_budget() -> int:
+    """Device memory budget for sizing dispatch waves: 45% of the default
+    device's reported capacity (the mask plane the budget is checked against
+    is the single largest wave allocation, but the banded image blocks,
+    window stats and compaction transients together reach a comparable
+    total — 45% of real HBM keeps their sum under capacity with margin).
+    Falls back to the former hard-coded 4 GB when the backend reports no
+    stats (CPU/interpret test runs)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        lim = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if lim:
+            return int(int(lim) * 0.45)
+    except Exception:  # noqa: BLE001 - stats are best-effort on every backend
+        pass
+    return 4 << 30
 
 
 def _ink_crop(inv: np.ndarray, H: int, W: int, groups) -> tuple | None:
@@ -301,7 +321,12 @@ class NccMatcher:
         # transport). Keyed by device so the mesh-sharded scatter path can
         # pin a page's whole sweep to one chip.
         self._dev_groups: dict[object, list[tuple]] = {}
-        self._sharded_fns: dict[tuple, object] = {}  # (mesh id, group idx) -> fn
+        # keyed by the Mesh VALUE (hash = devices + axis names), not id():
+        # a GC'd mesh whose address a fresh, different mesh reuses must MISS
+        # here, and two equal meshes sharing one compiled fn is correct.
+        # Device keys are safe as-is: jax Device objects are client-owned
+        # singletons alive for the process, never reallocated.
+        self._sharded_fns: dict[tuple, object] = {}  # (mesh, group idx) -> fn
         self._fused_fns: dict[tuple, object] = {}  # fused wave-sweep jits
 
     def _wave_for(self, pages: list[np.ndarray]) -> int:
@@ -312,7 +337,8 @@ class NccMatcher:
         collect with zero overlap (measured 64-page corpus: wave 8-16 at
         33-40 pages/s vs wave 64 at 12-22 in the same windows). The memory
         bound still shrinks waves for tall pages (largest per-group mask
-        plane under ~4GB HBM). FOCR_NCC_WAVE overrides."""
+        plane under the device HBM budget — see _hbm_budget).
+        FOCR_NCC_WAVE overrides."""
         env = _wave_size()
         if env is not None:
             return env
@@ -334,7 +360,7 @@ class NccMatcher:
         # whenever one group's mask plane alone approaches the HBM budget —
         # flooring at 8 here would materialize an 8x-per transient and OOM
         # on tall-page/large-bank configs
-        fit = (4 << 30) // per
+        fit = _hbm_budget() // per
         if fit >= 8:
             return min(16, fit // 8 * 8)
         # match the dispatch's {1, 2, 4} padding steps so the PADDED batch
@@ -607,12 +633,12 @@ class NccMatcher:
                 continue
             # memoized per (mesh, group): a fresh @jax.jit closure per call
             # would retrace/recompile on every corpus invocation
-            fn = self._sharded_fns.get((id(mesh), gi))
+            fn = self._sharded_fns.get((mesh, gi))
             if fn is None:
                 fn = make_sharded_ncc_fn(
                     mesh, grp.bank, grp.s_n, grp.s2_n, self.threshold, cap=_CAP
                 )
-                self._sharded_fns[(id(mesh), gi)] = fn
+                self._sharded_fns[(mesh, gi)] = fn
             group_outs.append((grp, "xla", fn(inv_j)))
 
         fetched = fetch_global(

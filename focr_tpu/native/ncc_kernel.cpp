@@ -354,7 +354,9 @@ int64_t focr_post_sort_winners(
     if (n <= 0) return 0;
     struct KI {
         int64_t k;
-        int32_t i;
+        int64_t i;  // original index: i64 like n (an i32 would silently
+                    // truncate past 2^31 hits; alignment pads the struct to
+                    // 16 bytes either way, so the wide index is free)
     };
     std::vector<KI> a(static_cast<size_t>(n)), b(static_cast<size_t>(n));
     int64_t maxk = 0;
@@ -384,7 +386,7 @@ int64_t focr_post_sort_winners(
     while (i < n) {
         const int64_t anchor = a[i].k;
         float best = sim[a[i].i];
-        int32_t bi = a[i].i;
+        int64_t bi = a[i].i;
         int64_t j = i + 1;
         while (j < n && a[j].k - anchor <= overlap) {
             const float s = sim[a[j].i];

@@ -98,3 +98,40 @@ def test_prop_decode_via_decode_pages(prop_setup):
     got = decode_pages([page], face, ALPHA, dopts, ropts)[0]
     want = decode_image(page, face, ALPHA, dopts, ropts)
     assert [(l.text, l.y) for l in got] == [(l.text, l.y) for l in want]
+
+
+def test_prop_guess_miss_refetches_full_buffer(prop_setup):
+    """A batch whose lines outgrow every previously observed one must decode
+    correctly through the full-buffer refetch (a stable shape — the miss path
+    must never compile a fresh remainder slice mid-corpus), and the fetch
+    guess must stay on the power-of-two chunk ladder the decoder pre-compiles
+    at first use."""
+    from focr_tpu.fonts.bank import build_prop_bank
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.focr_prop import _CHUNK, PropDecoder
+    from focr_tpu.oracle.focr_oracle import decode_image
+
+    face, ropts = prop_setup
+    crop_w = 240
+    dopts = DecodeOptions(x_start=4, y_start=5, line_height=16, line_advance=19,
+                          width=crop_w)
+    bank = build_prop_bank(face, ALPHA, ropts, 16)
+    dec = PropDecoder(bank, crop_w)
+    total = dec._n_chunks * _CHUNK
+
+    def run(text):
+        page = synthesize_page(face, [text], dopts, ropts, ALPHA, (50, 260))
+        inv = (255 - page[5:21, 4:4 + crop_w].astype(np.int32)).astype(np.uint8)
+        got = dec.decode_lines(inv[None])[0]
+        want = decode_image(page, face, ALPHA, dopts, ropts)[0].text
+        assert got == want
+        g = dec._guess
+        c = g // _CHUNK
+        assert g == total or (g % _CHUNK == 0 and (c & (c - 1)) == 0)
+        return got
+
+    run("W" * 20)  # wide glyphs: few cursor steps, guess shrinks
+    g0 = dec._guess
+    assert g0 < total, "guess did not shrink; widen the advance spread"
+    long_got = run("i" * 70)  # narrow glyphs: more steps than the guess
+    assert len(long_got) >= g0, "long line did not exceed the guess (miss path untested)"

@@ -365,3 +365,63 @@ def test_fetch_global_multiprocess_branch(setup, monkeypatch):
     out = fetch_global({"a": x, "b": np.int64(3)})
     np.testing.assert_array_equal(out["a"], arr)
     assert out["b"] == 3
+
+
+def test_sharded_fn_cache_keyed_by_mesh_value(mono_font_path):
+    """The per-(mesh, group) jit cache must key meshes by VALUE, not id():
+    an id()-keyed cache can silently reuse a compiled fn for a dead mesh
+    whose address a different mesh later reuses. Value keying also means two
+    equal meshes (same devices + axis names) share one entry — which is
+    correct, the compiled fn only depends on the mesh value."""
+    from jax.sharding import Mesh
+
+    from focr_tpu.fonts.ft import Face
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import DecodeOptions, RenderOptions
+    from focr_tpu.parallel.mesh import page_mesh
+
+    face = Face(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(x_start=5, y_start=6, line_height=13, line_advance=15, width=110)
+    page = synthesize_page(face, ["AB01"], dopts, ropts, "AB01", (64, 128))
+    m = NccMatcher(face, "AB01", ropts, x_bits=0, device_kernel="xla")
+    mesh = page_mesh(glyph_shards=1)
+    m.get_hits_many_sharded([page], mesh)
+    assert m._sharded_fns, "sharded path did not populate the cache"
+    assert all(isinstance(k[0], Mesh) for k in m._sharded_fns)
+    # an equal mesh object hits the same entries (jax may intern equal
+    # meshes, so this can be the same object — the invariant under test is
+    # VALUE lookup, which holds either way and survives de-interning)
+    mesh_eq = Mesh(mesh.devices, mesh.axis_names)
+    assert all((mesh_eq, k[1]) in m._sharded_fns for k in list(m._sharded_fns))
+    # a mesh with different axis names misses, even at whatever address
+    mesh_other = Mesh(mesh.devices.reshape(mesh.devices.size, 1), ("rows", "cols"))
+    assert all((mesh_other, k[1]) not in m._sharded_fns for k in list(m._sharded_fns))
+
+
+def test_hbm_budget_from_device_memory_stats(monkeypatch):
+    """Wave sizing derives its HBM budget from the device's reported
+    capacity (45%), falling back to 4 GB when the backend reports none
+    (models/ncc.py::_hbm_budget — a v5e reports ~16 GB, so tall-page corpora
+    get larger waves than the former hard-coded 4 GB allowed)."""
+    from focr_tpu.models import ncc as ncc_mod
+
+    class Dev:
+        def __init__(self, stats):
+            self._stats = stats
+
+        def memory_stats(self):
+            return self._stats
+
+    try:
+        ncc_mod._hbm_budget.cache_clear()
+        monkeypatch.setattr(
+            ncc_mod.jax, "local_devices", lambda: [Dev({"bytes_limit": 16 << 30})]
+        )
+        assert ncc_mod._hbm_budget() == int((16 << 30) * 0.45)
+        ncc_mod._hbm_budget.cache_clear()
+        monkeypatch.setattr(ncc_mod.jax, "local_devices", lambda: [Dev(None)])
+        assert ncc_mod._hbm_budget() == 4 << 30
+    finally:
+        ncc_mod._hbm_budget.cache_clear()
