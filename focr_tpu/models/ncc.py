@@ -134,6 +134,37 @@ class HitStruct:
         return out
 
 
+def _pack_hits_payload(structs: list["HitStruct"]) -> bytes:
+    """Serialize per-page hit structs for the multi-host result allgather:
+    per page — n i64, then nid i32[n], x i32[n], y i32[n], sim f32[n].
+    Coordinates fit i32 for any real page (the reference caps them at u16,
+    ncc.rs:66-72); f32 similarity bits travel verbatim, so the decode side
+    reconstructs bit-identical hits."""
+    parts: list[bytes] = []
+    for s in structs:
+        parts.append(np.int64(len(s.x)).tobytes())
+        parts.append(np.ascontiguousarray(s.needle_id, np.int32).tobytes())
+        parts.append(s.x.astype(np.int32).tobytes())
+        parts.append(s.y.astype(np.int32).tobytes())
+        parts.append(np.ascontiguousarray(s.sim, np.float32).tobytes())
+    return b"".join(parts)
+
+
+def _unpack_hits_payload(buf: bytes) -> list[tuple]:
+    """Inverse of _pack_hits_payload: list of (nid, x, y, sim) per page."""
+    out: list[tuple] = []
+    off = 0
+    while off < len(buf):
+        n = int(np.frombuffer(buf, np.int64, 1, off)[0])
+        off += 8
+        arrs = []
+        for dt in (np.int32, np.int32, np.int32, np.float32):
+            arrs.append(np.frombuffer(buf, dt, n, off))
+            off += 4 * n
+        out.append(tuple(arrs))
+    return out
+
+
 def _wave_size() -> int | None:
     """Explicit FOCR_NCC_WAVE override, else None (callers auto-size)."""
     env = os.environ.get("FOCR_NCC_WAVE")
@@ -315,6 +346,9 @@ class NccMatcher:
         assert device_kernel in ("pallas", "xla")
         self.device_kernel = device_kernel
         self._caph: dict[tuple[int, int], int] = {}  # (nh, nw) -> current caph
+        # observability: fused Pallas sweeps dispatched (the multi-host smoke
+        # asserts the kernel tier actually ran, not just that results match)
+        self.n_pallas_waves = 0
         # device-resident per-group constants (bank, s_n, s2_n, threshold):
         # uploaded once PER DEVICE, reused for every page (re-uploading per
         # page costs a host->device round trip per group on the remote
@@ -396,6 +430,7 @@ class NccMatcher:
 
             fn = jax.jit(f)
             self._fused_fns[key] = fn
+        self.n_pallas_waves += 1
         return fn(inv_j)
 
     def _device_groups(self, device=None) -> list[tuple]:
@@ -510,82 +545,26 @@ class NccMatcher:
         if not pages:
             return []
         if self.device_kernel == "pallas" and jax.process_count() > 1:
-            # the scatter below device_puts to mesh devices directly, which
-            # only addresses THIS process's chips — under multi-host, take
-            # the shard_map XLA path (put_global/fetch_global handle the
-            # non-addressable shards) rather than silently searching a
-            # fraction of each wave
+            if not verbose:
+                # each process Pallas-scatters its OWN addressable chips over
+                # its shard of the corpus, then the replayed hit arrays are
+                # allgathered so every process returns the full ordered
+                # result — the kernel tier keeps its measured ~2.8x edge
+                # under multi-host instead of falling back to the XLA path
+                return self._get_hits_many_multiproc(pages, mesh, struct, post)
+            # verbose diagnostics print per-search lines during collect; a
+            # process only collects its own shard, so the reference-ordered
+            # stderr stream needs the replicated-results XLA path below
             print(
-                "focr_tpu: multi-host run: using the sharded XLA ncc path "
-                "(host-side Pallas scatter is single-process)",
+                "focr_tpu: multi-host --verbose run: using the sharded XLA "
+                "ncc path (per-search diagnostics need every page's replay "
+                "on every process)",
                 file=sys.stderr,
             )
         elif self.device_kernel == "pallas":
-            # host-side scatter: each device gets a round-robin SUB-BATCH of
-            # the wave (pages d, d+D, d+2D, ... for device d) and sweeps it
-            # with the batched Pallas kernel — the same data parallelism as
-            # the shard_map XLA path, but every chip runs the fused
-            # single-chip kernel (the 2.8x-faster tier) over its whole
-            # sub-batch in one dispatch. Each wave fetches in ONE device_get
-            # transfer across all devices. Results are bit-identical to every
-            # other engine tier (same candidate superset + exact host replay).
-            import concurrent.futures as cf
-
-            devices = list(mesh.devices.flat)
-            D = len(devices)
-            wave = self._wave_for(pages) * D
-            out: list = []
-            pending = None
-
-            def collect(d):
-                hits = self._collect_page(d, verbose, False, None, struct)
-                return post(hits) if post is not None else hits
-
-            def fetch_scatter(disp):
-                # restore corpus page order from the round-robin deal
-                sub_waves, n_sub = disp
-                per_dev = self._fetch_waves([w for _, w in sub_waves])
-                merged: list = [None] * n_sub
-                for (d, _), fetched in zip(sub_waves, per_dev):
-                    for k, tup in enumerate(fetched):
-                        merged[d + k * D] = tup
-                return merged
-
-            # page-parallel collect like get_hits_many: the exact-f64 replay
-            # + fused post would otherwise serialize the whole wave on the
-            # main thread while every chip idles (verbose stays serial for
-            # reference-ordered stderr). Dispatch (invert/crop + blocking
-            # uploads to every chip) runs on its own worker thread for the
-            # same reason as get_hits_many: the upload wait must overlap the
-            # replay, not serialize with it.
-            with (
-                cf.ThreadPoolExecutor(max_workers=1) as dpool,
-                cf.ThreadPoolExecutor(max_workers=4) as cpool,
-            ):
-                def dispatch_scatter(sub):
-                    return (
-                        [
-                            (d, self._dispatch_wave(sub[d::D], device=devices[d]))
-                            for d in range(D)
-                            if sub[d::D]
-                        ],
-                        len(sub),
-                    )
-
-                def collect_wave(dfut) -> list:
-                    fetched = fetch_scatter(dfut.result())
-                    if verbose:
-                        return [collect(d) for d in fetched]
-                    return list(cpool.map(collect, fetched))
-
-                for s in range(0, len(pages), wave):
-                    dfut = dpool.submit(dispatch_scatter, pages[s : s + wave])
-                    if pending is not None:
-                        out.extend(collect_wave(pending))
-                    pending = dfut
-                if pending is not None:
-                    out.extend(collect_wave(pending))
-            return out
+            return self._scatter_waves(
+                pages, list(mesh.devices.flat), verbose, struct, post
+            )
         from focr_tpu.parallel.mesh import fetch_global, pages_sharding, put_global
 
         t_dispatch = time.perf_counter()
@@ -659,6 +638,147 @@ class NccMatcher:
             )
             results.append(post(hits) if post is not None else hits)
         return results
+
+    def _scatter_waves(
+        self, pages: list[np.ndarray], devices: list, verbose: bool,
+        struct: bool, post,
+    ) -> list:
+        """Host-side Pallas scatter over ``devices``: each device gets a
+        round-robin SUB-BATCH of every wave (pages d, d+D, d+2D, ... for
+        device d) and sweeps it with the batched Pallas kernel — the same
+        data parallelism as the shard_map XLA path, but every chip runs the
+        fused single-chip kernel (the 2.8x-faster tier) over its whole
+        sub-batch in one dispatch. Each wave fetches in ONE device_get
+        transfer across all devices. Results are bit-identical to every
+        other engine tier (same candidate superset + exact host replay)."""
+        import concurrent.futures as cf
+
+        D = len(devices)
+        wave = self._wave_for(pages) * D
+        out: list = []
+        pending = None
+
+        def collect(d):
+            hits = self._collect_page(d, verbose, False, None, struct)
+            return post(hits) if post is not None else hits
+
+        def fetch_scatter(disp):
+            # restore corpus page order from the round-robin deal
+            sub_waves, n_sub = disp
+            per_dev = self._fetch_waves([w for _, w in sub_waves])
+            merged: list = [None] * n_sub
+            for (d, _), fetched in zip(sub_waves, per_dev):
+                for k, tup in enumerate(fetched):
+                    merged[d + k * D] = tup
+            return merged
+
+        # page-parallel collect like get_hits_many: the exact-f64 replay
+        # + fused post would otherwise serialize the whole wave on the
+        # main thread while every chip idles (verbose stays serial for
+        # reference-ordered stderr). Dispatch (invert/crop + blocking
+        # uploads to every chip) runs on its own worker thread for the
+        # same reason as get_hits_many: the upload wait must overlap the
+        # replay, not serialize with it.
+        with (
+            cf.ThreadPoolExecutor(max_workers=1) as dpool,
+            cf.ThreadPoolExecutor(max_workers=4) as cpool,
+        ):
+            def dispatch_scatter(sub):
+                return (
+                    [
+                        (d, self._dispatch_wave(sub[d::D], device=devices[d]))
+                        for d in range(D)
+                        if sub[d::D]
+                    ],
+                    len(sub),
+                )
+
+            def collect_wave(dfut) -> list:
+                fetched = fetch_scatter(dfut.result())
+                if verbose:
+                    return [collect(d) for d in fetched]
+                return list(cpool.map(collect, fetched))
+
+            for s in range(0, len(pages), wave):
+                dfut = dpool.submit(dispatch_scatter, pages[s : s + wave])
+                if pending is not None:
+                    out.extend(collect_wave(pending))
+                pending = dfut
+            if pending is not None:
+                out.extend(collect_wave(pending))
+        return out
+
+    def _get_hits_many_multiproc(
+        self, pages: list[np.ndarray], mesh, struct: bool, post
+    ) -> list:
+        """Pallas tier under multi-host (SURVEY.md §5.8): each process
+        Pallas-scatters its OWN addressable mesh chips over a strided shard
+        of the corpus (pages[rank::P] for owner rank), replays its shard's
+        hits exactly on the host, then the per-page hit ARRAYS — not device
+        buffers — are allgathered over DCN so every process reconstructs the
+        identical full ordered result list. Exchanging replayed arrays keeps
+        the exact-f64 decision work done once per page while the collective
+        stays a fixed-shape byte buffer (jax.experimental.multihost_utils).
+
+        Bit parity: each page is produced by exactly ONE process via the
+        same scatter machinery as the single-process path; the wire carries
+        i32 coords and raw f32 similarity bits, both lossless."""
+        from jax.experimental import multihost_utils
+
+        pid = jax.process_index()
+        # processes owning mesh chips sweep; others only join the collectives
+        owners = sorted({d.process_index for d in mesh.devices.flat})
+        mine_dev = [d for d in mesh.devices.flat if d.process_index == pid]
+        if pid in owners:
+            rank, nown = owners.index(pid), len(owners)
+            mine = pages[rank::nown]
+            structs = (
+                self._scatter_waves(mine, mine_dev, False, True, None)
+                if mine
+                else []
+            )
+        else:
+            structs = []
+        payload = _pack_hits_payload(structs)
+
+        lens = np.asarray(
+            multihost_utils.process_allgather(np.int64(len(payload)))
+        ).reshape(-1)
+        buf = np.zeros(int(lens.max()) if len(lens) else 0, np.uint8)
+        buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+        all_bufs = np.asarray(multihost_utils.process_allgather(buf))
+
+        # parse each owner's payload once, then deal pages back out in
+        # global order (page g belongs to owner rank g % nown)
+        per_proc: dict[int, list] = {
+            p: _unpack_hits_payload(all_bufs[p, : int(lens[p])].tobytes())
+            for p in owners
+        }
+        out = []
+        for g in range(len(pages)):
+            nid, xs, ys, sims = per_proc[owners[g % len(owners)]][g // len(owners)]
+            hits = (
+                HitStruct(
+                    needle_id=nid,
+                    x=xs.astype(np.int64),
+                    y=ys.astype(np.int64),
+                    sim=sims,
+                    matcher=self,
+                )
+                if struct
+                else [
+                    MatchWithLetter(
+                        self.needles[i].letter, int(x), int(y),
+                        self.needles[i].pixels.shape[1],
+                        self.needles[i].pixels.shape[0], float(s),
+                    )
+                    for i, x, y, s in zip(
+                        nid.tolist(), xs.tolist(), ys.tolist(), sims.tolist()
+                    )
+                ]
+            )
+            out.append(post(hits) if post is not None else hits)
+        return out
 
     def _dispatch_wave(self, batch: list[np.ndarray], device=None, measure=None):
         """Phase 1 for a WHOLE wave of pages: one stacked u8 upload per page

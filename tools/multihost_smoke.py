@@ -8,9 +8,13 @@ DCN-connected TPU pod would use (SURVEY.md §5.8):
   * focr grid decode via GridDecoder(mesh=...).decode_batch — every process
     must reconstruct the full corpus' decoded text (fetch_global's
     process_allgather branch handles the non-addressable shards);
-  * ncc corpus search via NccMatcher.get_hits_many_sharded — the XLA
-    shard_map path (the Pallas host-scatter path reroutes here under
-    process_count > 1 by design, models/ncc.py).
+  * ncc corpus search via NccMatcher.get_hits_many_sharded — both the XLA
+    shard_map path AND the Pallas tier (interpret mode on CPU): under
+    process_count > 1 each process Pallas-scatters its own addressable
+    chips over its shard of the corpus and the replayed hit arrays are
+    allgathered (models/ncc.py::_get_hits_many_multiproc). The smoke
+    asserts the kernel tier actually dispatched (n_pallas_waves > 0), not
+    just that results match.
 
 Both results are asserted bit-identical to the local single-chip engines.
 The 8-virtual-device dryrun cannot catch cross-process bugs (it is one
@@ -79,6 +83,20 @@ def worker(pid: int, port: int) -> None:
     assert [key(h) for h in sharded] == [key(h) for h in local], (
         f"[p{pid}] ncc sharded != local"
     )
+
+    # ncc Pallas tier under multi-host: per-process scatter over addressable
+    # chips + result allgather; assert the kernel TIER ran (n_pallas_waves),
+    # and that the object and struct paths both survive the wire round trip
+    mp = NccMatcher(face, "ABab", ropts, x_bits=1, threshold=0.8,
+                    device_kernel="pallas")
+    sharded_p = mp.get_hits_many_sharded(list(pages), mesh)
+    assert mp.n_pallas_waves > 0, f"[p{pid}] pallas tier never dispatched"
+    assert [key(h) for h in sharded_p] == [key(h) for h in local], (
+        f"[p{pid}] ncc multi-host pallas != local"
+    )
+    st = mp.get_hits_many_sharded(list(pages), mesh, struct=True)
+    got_st = [key(s.to_objects()) for s in st]
+    assert got_st == [key(h) for h in local], f"[p{pid}] pallas struct path"
     print(f"[p{pid}] multihost smoke OK", flush=True)
 
 
