@@ -1171,19 +1171,22 @@ class NccMatcher:
         if int(nzh[0]) > lo_a.shape[0] and lo_a.shape[0] < _CAPH_MAX:
             # global candidate-cap overflow (suffix truncation — the rank
             # compaction is exact first-caph, so this is the only loss mode):
-            # grow this group's caph to 1.125x the MEASURED candidate count
-            # (nzh is exact), rounded up to a 1024-slot step — the per-page
-            # result fetch stays sized to the corpus density (the d2h fetch
-            # is the ncc pipeline's long pole, and every compaction gather is
-            # K-proportional, so slack costs on BOTH sides of the link;
-            # candidates measure ~98.5% true hits, so the fetch cannot shrink
-            # below the density itself), the 12.5% headroom absorbs page-to-
-            # page variation, and the step granularity bounds the number of
-            # distinct compiled cap sizes — then re-dispatch THIS page once
-            # (an exact device redo beats per-needle host fallbacks). A
-            # denser later page re-grows the same way.
+            # grow this group's caph to the next POWER-OF-TWO rung above
+            # 1.125x the MEASURED candidate count (nzh is exact), capped at
+            # _CAPH_MAX — then re-dispatch THIS page once (an exact device
+            # redo beats per-needle host fallbacks). A denser later page
+            # re-grows the same way. Rungs are powers of two, NOT a tight
+            # 1024-granular fit, on purpose: a tight fit makes the compiled
+            # cap a function of corpus content (and of the page-parallel
+            # collect's benign growth races), so every new corpus minted a
+            # fresh fused-sweep executable — a 10-25s tunnel compile landing
+            # MID-RUN (measured: a 16-page wave collapsing from 64 to 4.7
+            # pages/s). Five stable rungs per group hit the persistent
+            # compile cache across runs/processes; the extra fetch slack
+            # costs ~15ms/wave at median d2h, three orders less than one
+            # compile.
             need = max(int(nzh[0]), 2 * lo_a.shape[0])
-            caph_new = min(_CAPH_MAX, -(-(need + (need >> 3)) // 1024) * 1024)
+            caph_new = min(_CAPH_MAX, 1 << int(np.ceil(np.log2(need + (need >> 3)))))
             # benign race under page-parallel collect: concurrent overflows
             # each redo exactly and last-write-wins on the cached cap; a
             # later page that needs more simply regrows

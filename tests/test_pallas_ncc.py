@@ -427,10 +427,12 @@ def test_pallas_global_cap_overflow_falls_back(mono_font_path, monkeypatch):
 
 def test_pallas_caph_bump_redo(mono_font_path, monkeypatch):
     """A candidate-cap overflow below the ceiling re-dispatches once at a
-    1024-aligned cap sized to 1.25x the measured candidate count and
+    POWER-OF-TWO cap rung covering 1.125x the measured candidate count and
     remembers the bump — results identical to the oracle, and the matcher's
     next dispatch uses the larger cap directly (no further growth on the
-    same page)."""
+    same page). Rungs must be content-independent (powers of two, or the
+    ceiling): a content-sized cap mints a fresh compiled executable per
+    corpus, a 10-25s tunnel compile landing mid-run."""
     import focr_tpu.models.ncc as ncc_mod
     from focr_tpu.fonts.ft import Face
     from focr_tpu.io.synth import synthesize_page
@@ -447,10 +449,12 @@ def test_pallas_caph_bump_redo(mono_font_path, monkeypatch):
     ho = m.get_hits_oracle(page)
     key = lambda hs: [(h.letter, h.x, h.y, np.float32(h.similarity).tobytes()) for h in hs]
     assert key(hp) == key(ho)
-    # bump remembered: grown to a 1024-aligned cap covering the measured need
+    # bump remembered: grown to a power-of-two rung covering the measured need
     grown = dict(m._caph)
     assert grown and all(
-        2 < c <= ncc_mod._CAPH_MAX and c % 1024 == 0 for c in grown.values()
+        2 < c <= ncc_mod._CAPH_MAX
+        and (c == ncc_mod._CAPH_MAX or (c & (c - 1)) == 0)
+        for c in grown.values()
     )
     assert key(m.get_hits(page)) == key(ho)  # second pass: bigger cap directly
     assert m._caph == grown  # sized to need: the same page never re-grows
