@@ -52,18 +52,40 @@ def main() -> int:
         m = NccMatcher(
             face, alphabet, ropts,
             box_size=BoxSize(rng.choice(["font", "alphabet", "char"])),
-            x_bits=int(rng.integers(0, 2)), y_bits=int(rng.integers(0, 2)),
+            x_bits=int(rng.integers(0, 3)), y_bits=int(rng.integers(0, 2)),
             threshold=float(rng.uniform(0.3, 0.9)),
         )
-        hd = m.get_hits(page)
-        ho = m.get_hits_oracle(page)
+        mode = "single"
+        if seed % 3 == 1:
+            # exercise the grown-cap redo on the REAL backend: a tiny start
+            # cap forces overflow -> power-of-two rung growth -> exact redo
+            m._caph = {
+                (g.nh, g.nw): 2 if g.nw % 2 == 0 else 4 for g in m.groups
+            }
+            mode = "cap-redo"
+        if seed % 3 == 2:
+            # multi-page wave path: batched dispatch + ink crop + fused sweep
+            # + struct collect (the production corpus pipeline)
+            pages = [page, np.ascontiguousarray(page[::-1, ::-1]).copy(), page.copy()]
+            structs = m.get_hits_many(pages, struct=True)
+            hd = [s.to_objects() for s in structs]
+            ho = [m.get_hits_oracle(p) for p in pages]
+            mode = "wave"
+        else:
+            hd = m.get_hits(page)
+            ho = m.get_hits_oracle(page)
         key = lambda hs: [
             (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes())
             for h in hs
         ]
-        ok = key(hd) == key(ho)
+        if mode == "wave":
+            ok = [key(a) for a in hd] == [key(b) for b in ho]
+            nh = sum(len(a) for a in hd)
+        else:
+            ok = key(hd) == key(ho)
+            nh = len(hd)
         bad += not ok
-        print(f"config {seed}: {len(hd)} hits {'OK' if ok else 'MISMATCH'}",
+        print(f"config {seed} [{mode}]: {nh} hits {'OK' if ok else 'MISMATCH'}",
               file=sys.stderr)
     print(f"{'PASS' if not bad else 'FAIL'}: {n - bad}/{n} configs bit-identical",
           file=sys.stderr)
