@@ -317,7 +317,9 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
     import jax
     import jax.numpy as jnp
 
-    from focr_tpu.models.ncc import _CAPH_START, ncc_ops_pallas_call_batch
+    from focr_tpu.models.ncc import (
+        _CAPB_START, _CAPH_START, ncc_ops_pallas_call_batch,
+    )
     from focr_tpu.ops import pallas_ncc
 
     if matcher.device_kernel != "pallas":
@@ -332,20 +334,29 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
             continue
         if not pallas_ncc.pallas_supported(H, W, grp.nw, grp.nh, matcher.threshold):
             continue
-        calls.append((grp, dev, matcher._caph.get((grp.nh, grp.nw), _CAPH_START)))
+        key = (grp.nh, grp.nw)
+        calls.append((
+            grp, dev, matcher._caph.get(key, _CAPH_START),
+            matcher._capb.get(key, _CAPB_START),
+        ))
     if not calls:  # nothing Pallas-able: a 0.0 reading would be misleading
         return None
-    outs = [ncc_ops_pallas_call_batch(bufs[0], grp, dev, caph=c) for grp, dev, c in calls]
+
+    def sweep(b):  # times the matcher's PRODUCTION wire encode too
+        return [
+            ncc_ops_pallas_call_batch(
+                b, grp, dev, caph=c, wire=matcher.wire, capb=cb
+            )
+            for grp, dev, c, cb in calls
+        ]
+
+    outs = sweep(bufs[0])
     _force(outs)  # compile
     # pre-compile the fence for the measured leaf signature (see
     # bench_focr_device)
     _force([o for _ in bufs for o in outs])
     t0 = time.perf_counter()
-    outs = [
-        ncc_ops_pallas_call_batch(b, grp, dev, caph=c)
-        for b in bufs
-        for grp, dev, c in calls
-    ]
+    outs = [o for b in bufs for o in sweep(b)]
     _force(outs)
     dev_ms = (time.perf_counter() - t0) / (reps * len(pages)) * 1e3
     print(f"# ncc device sweep+compact {dev_ms:.2f} ms/page", file=sys.stderr)

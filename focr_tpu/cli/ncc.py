@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-kernel", choices=["auto", "xla", "pallas"], default="auto",
                    help="device-engine kernel: xla (conv emitter, default via auto) "
                         "or pallas (fused bitmask kernel)")
+    p.add_argument("--wire", choices=["delta", "pos"], default=None,
+                   help="Pallas candidate fetch encoding: delta (nibble-varint "
+                        "deltas, ~1.9 B/candidate, default) or pos (flat packed "
+                        "positions); FOCR_NCC_WIRE overrides the default")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--verbose-sync", action="store_true",
                    help="verbose with MEASURED per-search timing: serializes "
@@ -108,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         padding=(args.x_padding, args.y_padding),
         threshold=args.threshold,
         device_kernel=args.device_kernel,
+        wire=args.wire,
     )
 
     if args.save_letters:

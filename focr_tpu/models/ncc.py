@@ -30,11 +30,13 @@ from focr_tpu.fonts.bank import Needle, build_needles
 from focr_tpu.fonts.ft import Face
 from focr_tpu.models.types import MAX_MATCHES, BoxSize, MatchWithLetter, RenderOptions
 from focr_tpu.ops import ncc as ncc_ops
+from focr_tpu.ops import packimg
 from focr_tpu.ops import pallas_ncc
 from focr_tpu.utils.device import force as device_force
 
 
-def ncc_ops_pallas_call(inv_j, grp, dev, caph: int):
+def ncc_ops_pallas_call(inv_j, grp, dev, caph: int, wire: str = "pos",
+                        capb: int = 0):
     """Invoke the Pallas bitmask kernel for one size group (interpret mode
     off-TPU so CPU CI exercises the same code path). ``dev`` is the group's
     cached device-resident (bank, s_n, s2_n, threshold) tuple."""
@@ -50,10 +52,13 @@ def ncc_ops_pallas_call(inv_j, grp, dev, caph: int):
         nh=grp.nh,
         caph=caph,
         interpret=interpret,
+        wire=wire,
+        capb=capb,
     )
 
 
-def ncc_ops_pallas_call_batch(inv_j, grp, dev, caph: int):
+def ncc_ops_pallas_call_batch(inv_j, grp, dev, caph: int, wire: str = "pos",
+                              capb: int = 0):
     """Batched-page variant: ONE kernel dispatch sweeps a [B, H, W] wave
     (page axis = outermost grid dim) and returns [B, ...] result buffers, so
     a wave costs one dispatch + one fetch per size group instead of B of
@@ -71,6 +76,8 @@ def ncc_ops_pallas_call_batch(inv_j, grp, dev, caph: int):
         nh=grp.nh,
         caph=caph,
         interpret=interpret,
+        wire=wire,
+        capb=capb,
     )
 
 _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA path
@@ -81,6 +88,13 @@ _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA pa
 # need, and remember the bumped size for subsequent pages.
 _CAPH_START = 4096  # 10KB fetch (2.5B/candidate: packed local position)
 _CAPH_MAX = 49152  # 120KB fetch
+# Start rung for the delta wire's stream bytes (wire="delta"): sized so a
+# _CAPH_START-full buffer of typical dense-text candidates (~1.9 B each,
+# measured) fits with ~30% slack. Grows on measured need exactly like caph
+# (byte-overflow redo + remembered rung), on packimg.vals_rung quarter-pow2
+# rungs: the fetch is padding-sensitive (a pow2 snap can waste 45% of the
+# wire) while compiled-shape count stays bounded at 4/octave.
+_CAPB_START = 10240
 
 _EMPTY = (
     np.zeros(0, np.int64),
@@ -325,6 +339,7 @@ class NccMatcher:
         padding: tuple[int, int] = (0, 0),
         threshold: float = 0.8,
         device_kernel: str = "auto",
+        wire: str | None = None,
     ):
         import focr_tpu
 
@@ -345,7 +360,21 @@ class NccMatcher:
             device_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         assert device_kernel in ("pallas", "xla")
         self.device_kernel = device_kernel
+        # Pallas result wire encoding: "delta" (default) ships delta +
+        # nibble-varint candidate positions (~1.9 B/candidate dense vs the
+        # flat 2.5 of "pos") — the d2h fetch is the pipeline's dominant
+        # off-chip cost and, unlike h2d, the transport does NOT compress it
+        # (measured: fetch wall time scales linearly with bytes at equal
+        # slope for structured and random content). FOCR_NCC_WIRE overrides
+        # for A/B runs.
+        if wire is None:
+            wire = os.environ.get("FOCR_NCC_WIRE", "delta")
+        assert wire in ("delta", "pos")
+        self.wire = wire
         self._caph: dict[tuple[int, int], int] = {}  # (nh, nw) -> current caph
+        # (nh, nw) -> current delta-stream byte rung (wire="delta"); grows
+        # on byte-overflow redos exactly like _caph grows on count overflows
+        self._capb: dict[tuple[int, int], int] = {}
         # observability: fused Pallas sweeps dispatched (the multi-host smoke
         # asserts the kernel tier actually ran, not just that results match)
         self.n_pallas_waves = 0
@@ -406,24 +435,26 @@ class NccMatcher:
         wave: the remote transport is latency-bound (an RPC round trip costs
         10-500ms window-dependent, while bandwidth sits at GB/s), so one
         execute call for all groups beats one per group. ``specs`` is a
-        tuple of (group index, caph); returns the per-group outs tuple."""
+        tuple of (group index, caph, capb); returns the per-group outs
+        tuple."""
         key = (inv_j.shape, specs, device)
         fn = self._fused_fns.get(key)
         if fn is None:
             groups = self.groups
             devg = self._device_groups(device)
             interpret = jax.default_backend() != "tpu"
+            wire = self.wire
 
             def f(inv):
                 outs = []
-                for gi, caph in specs:
+                for gi, caph, capb in specs:
                     grp = groups[gi]
                     bank_j, s_n_j, s2_n_j, thr_j = devg[gi]
                     outs.append(
                         pallas_ncc.ncc_candidates_pallas_batch(
                             inv, bank_j, s_n_j, s2_n_j, thr_j,
                             nw=grp.nw, nh=grp.nh, caph=caph,
-                            interpret=interpret,
+                            interpret=interpret, wire=wire, capb=capb,
                         )
                     )
                 return tuple(outs)
@@ -780,6 +811,25 @@ class NccMatcher:
             out.append(post(hits) if post is not None else hits)
         return out
 
+    def _upload_wave(self, inv_up: np.ndarray, put):
+        """Ship one inverted wave [B, Hc, Wc] to the device. FOCR_NCC_PACK=1
+        opts into the bit-packed form (ops/packimg.py: mask bits + nonzero
+        values, exactly reconstructed on device — parity-neutral by
+        construction, ~0.44x of raw bytes on dense text). Raw is the DEFAULT
+        on purpose: the axon transport measures the packed upload at the
+        SAME wall time as raw (198 vs 199 ms median per 8.4 MB wave — the
+        link evidently compresses or content-chunks low-entropy uploads
+        transparently) while the on-device decode adds ~50 ms/wave, and a
+        co-located host's h2d is never upload-bound. The packed path exists
+        for transports that bill true wire bytes."""
+        if os.environ.get("FOCR_NCC_PACK") != "1":
+            return put(inv_up)
+        mask, vals = packimg.pack_wave(inv_up)
+        pad = packimg.vals_rung(vals.size) - vals.size
+        if pad:
+            vals = np.pad(vals, (0, pad))
+        return packimg.unpack_wave(put(mask), put(vals), W=inv_up.shape[2])
+
     def _dispatch_wave(self, batch: list[np.ndarray], device=None, measure=None):
         """Phase 1 for a WHOLE wave of pages: one stacked u8 upload per page
         shape and ONE fused device execute for every Pallas-able size group
@@ -828,7 +878,7 @@ class NccMatcher:
             crop = _ink_crop(inv_pad, H, W, self.groups)
             sweep_any = any(g.nh < H and g.nw < W for g in self.groups)
             if crop is None or not sweep_any:
-                plans = [(grp, "empty", None) for grp in self.groups]
+                plans = [(grp, "empty", None, None) for grp in self.groups]
                 buckets.append((idxs, inv_all, plans, (0, 0, H, W)))
                 continue
             y0, x0, Hc, Wc = crop
@@ -837,37 +887,42 @@ class NccMatcher:
                 if (Hc, Wc) == (H, W)
                 else np.ascontiguousarray(inv_pad[:, y0 : y0 + Hc, x0 : x0 + Wc])
             )
-            inv_j = (
-                jnp.asarray(inv_up)
+            put = (
+                jnp.asarray
                 if device is None
-                else jax.device_put(inv_up, device)
+                else (lambda a: jax.device_put(a, device))
             )
+            inv_j = self._upload_wave(inv_up, put)
             if measure is not None:
                 # exclude the upload from the first group's measured span
                 # (force, not block_until_ready: the remote backend can ack
                 # enqueues early, which would fold the upload into the span)
                 device_force(inv_j)
-            plans: list[tuple[_Group, str, object] | None] = [None] * len(self.groups)
-            fspecs: list[tuple[int, int]] = []  # (group idx, caph) to fuse
+            plans: list[tuple | None] = [None] * len(self.groups)
+            fspecs: list[tuple[int, int, int]] = []  # (gi, caph, capb) to fuse
             for gi, (grp, dev) in enumerate(
                 zip(self.groups, self._device_groups(device))
             ):
                 if grp.nh >= H or grp.nw >= W or grp.nh >= Hc or grp.nw >= Wc:
                     # past the page (reference semantics) or past the crop
                     # (a window overlapping ink cannot fit: Hc >= 2·nh + ink)
-                    plans[gi] = (grp, "empty", None)
+                    plans[gi] = (grp, "empty", None, None)
                     continue
                 tg = time.perf_counter()
                 if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
                     Hc, Wc, grp.nw, grp.nh, self.threshold
                 ):
                     caph = self._caph.get((grp.nh, grp.nw), _CAPH_START)
+                    capb = self._capb.get((grp.nh, grp.nw), _CAPB_START)
                     if measure is None:
-                        fspecs.append((gi, caph))
+                        fspecs.append((gi, caph, capb))
                         continue
                     # sync mode: per-group dispatch so the span is per-group
-                    outs = ncc_ops_pallas_call_batch(inv_j, grp, dev, caph=caph)
-                    plans[gi] = (grp, "pallas", outs)
+                    outs = ncc_ops_pallas_call_batch(
+                        inv_j, grp, dev, caph=caph, wire=self.wire,
+                        capb=capb,
+                    )
+                    plans[gi] = (grp, "pallas", outs, caph)
                 else:
                     bank_j, s_n_j, s2_n_j, thr_j = dev
                     # XLA fallback stays per page (device-side slices of the
@@ -885,7 +940,7 @@ class NccMatcher:
                         )
                         for k in range(B)
                     ]
-                    plans[gi] = (grp, "xla", outs)
+                    plans[gi] = (grp, "xla", outs, None)
                 if measure is not None:
                     # fence by FULL fetch, not device_force: a pure transfer
                     # of existing buffers involves no host-side jit compile,
@@ -899,8 +954,8 @@ class NccMatcher:
                     measure[key] = measure.get(key, 0.0) + time.perf_counter() - tg
             if fspecs:
                 fused = self._fused_sweep(inv_j, tuple(fspecs), device)
-                for (gi, _), outs in zip(fspecs, fused):
-                    plans[gi] = (self.groups[gi], "pallas", outs)
+                for (gi, caph, capb), outs in zip(fspecs, fused):
+                    plans[gi] = (self.groups[gi], "pallas", outs, caph)
             buckets.append((idxs, inv_all, plans, crop))
         return batch, buckets, t0, device
 
@@ -913,7 +968,7 @@ class NccMatcher:
         leaves: list = []
         for _, buckets, _, _ in waves:
             for _, _, plans, _ in buckets:
-                for _, kind, outs in plans:
+                for _, kind, outs, _ in plans:
                     if kind == "pallas":
                         leaves.append(outs)
                     elif kind == "xla":
@@ -925,16 +980,21 @@ class NccMatcher:
             per_page: list = [None] * len(batch)
             for idxs, inv_all, plans, crop in buckets:
                 page_plans: list[list] = [[] for _ in idxs]
-                for grp, kind, _ in plans:
+                for grp, kind, _, meta in plans:
                     if kind == "empty":
                         for pp in page_plans:
                             pp.append((grp, "empty", None))
                     elif kind == "pallas":
-                        lo, hi, hcnt, nzh = next(it)
+                        # (lo, hi, ...) for wire="pos"; (stream, nnib, ...)
+                        # for wire="delta" — per-page slicing is identical
+                        # except the second buffer is per-page scalar there
+                        a, b, hcnt, nzh = next(it)
+                        delta = self.wire == "delta"
                         for k, pp in enumerate(page_plans):
+                            bk = b[k : k + 1] if delta else b[k]
                             pp.append(
                                 (grp, "pallas",
-                                 (lo[k], hi[k], hcnt[k], nzh[k : k + 1]))
+                                 (a[k], bk, hcnt[k], nzh[k : k + 1], meta))
                             )
                     else:
                         for pp in page_plans:
@@ -1166,9 +1226,20 @@ class NccMatcher:
         coordinates before the replay (which always runs on the full page)."""
         n = grp.nh * grp.nw
         cy0, cx0, Hc, Wc = crop if crop is not None else (0, 0, H, W)
-        lo_a, hi_a, hcnt, nzh = (np.asarray(o) for o in outs)
+        a_a, b_a, hcnt, nzh, meta = outs
+        a_a, b_a, hcnt, nzh = (
+            np.asarray(o) for o in (a_a, b_a, hcnt, nzh)
+        )
+        caph_used = meta if meta is not None else a_a.shape[0]
+        delta = self.wire == "delta"
         inv_u8 = tables.inv_u8
-        if int(nzh[0]) > lo_a.shape[0] and lo_a.shape[0] < _CAPH_MAX:
+        # byte-rung overflow (delta wire only): the varint stream outgrew
+        # its byte rung (nnib is exact even when truncated, like nzh) —
+        # redo at a remembered bigger rung, the same discipline as _caph
+        byte_overflow = delta and int(b_a[0]) > 2 * a_a.shape[0]
+        if byte_overflow or (
+            int(nzh[0]) > caph_used and caph_used < _CAPH_MAX
+        ):
             # global candidate-cap overflow (suffix truncation — the rank
             # compaction is exact first-caph, so this is the only loss mode):
             # grow this group's caph to the next POWER-OF-TWO rung above
@@ -1185,12 +1256,30 @@ class NccMatcher:
             # compile cache across runs/processes; the extra fetch slack
             # costs ~15ms/wave at median d2h, three orders less than one
             # compile.
-            need = max(int(nzh[0]), 2 * lo_a.shape[0])
-            caph_new = min(_CAPH_MAX, 1 << int(np.ceil(np.log2(need + (need >> 3)))))
-            # benign race under page-parallel collect: concurrent overflows
-            # each redo exactly and last-write-wins on the cached cap; a
-            # later page that needs more simply regrows
-            self._caph[(grp.nh, grp.nw)] = caph_new
+            if int(nzh[0]) > caph_used:
+                need = max(int(nzh[0]), 2 * caph_used)
+                caph_new = min(
+                    _CAPH_MAX, 1 << int(np.ceil(np.log2(need + (need >> 3))))
+                )
+                # benign race under page-parallel collect: concurrent
+                # overflows each redo exactly and last-write-wins on the
+                # cached cap; a later page that needs more simply regrows
+                self._caph[(grp.nh, grp.nw)] = caph_new
+            else:
+                caph_new = caph_used  # byte-rung overflow only
+            capb_new = 0
+            if delta:
+                # nnib is the EXACT nibble total of the min(nz, caph) kept
+                # candidates; scale it by the cap growth when the count also
+                # overflowed, add 12.5% headroom, snap to a quarter-pow2
+                # rung (packimg.vals_rung), and remember — future waves of
+                # this corpus then dispatch at a rung that fits
+                kept = max(min(int(nzh[0]), caph_used), 1)
+                want = min(int(nzh[0]), caph_new)
+                need_b = -(-int(b_a[0]) * want // kept) // 2 + 1
+                capb_new = packimg.vals_rung(need_b + (need_b >> 3))
+                key = (grp.nh, grp.nw)
+                self._capb[key] = max(self._capb.get(key, _CAPB_START), capb_new)
             # the redo stays on the page's dispatch device: in the mesh
             # scatter path a default-device redo would re-upload every
             # group's constants to chip 0 and contend with its sweeps
@@ -1204,14 +1293,35 @@ class NccMatcher:
                 jnp.asarray(inv_crop) if device is None
                 else jax.device_put(inv_crop, device)
             )
-            redo = ncc_ops_pallas_call(inv_dev, grp, dev, caph=caph_new)
-            lo_a, hi_a, hcnt, nzh = (np.asarray(o) for o in jax.device_get(redo))
+            redo = ncc_ops_pallas_call(
+                inv_dev, grp, dev, caph=caph_new, wire=self.wire,
+                capb=capb_new,
+            )
+            a_a, b_a, hcnt, nzh = (
+                np.atleast_1d(np.asarray(o)) for o in jax.device_get(redo)
+            )
+            caph_used = caph_new
+            if delta and int(b_a[0]) > 2 * a_a.shape[0]:
+                # the scaled estimate undershot (possible only when the
+                # count ALSO overflowed and the tail compresses worse than
+                # the kept prefix): one terminal redo at the hard bound
+                redo = ncc_ops_pallas_call(
+                    inv_dev, grp, dev, caph=caph_new, wire=self.wire,
+                    capb=1 << 30,  # clamped to delta_capb_bound inside
+                )
+                a_a, b_a, hcnt, nzh = (
+                    np.atleast_1d(np.asarray(o))
+                    for o in jax.device_get(redo)
+                )
         W1 = pallas_ncc.word_stride(W, grp.nw) * 32  # full-page pos = y*W1 + x
 
         T = len(grp.needle_ids)
-        caph = lo_a.shape[0]
+        caph = caph_used
         nv = min(int(nzh[0]), caph)  # valid prefix (0-padded past it)
-        pos_v = pallas_ncc.unpack_pos(lo_a, hi_a, nv)  # i32 [nv], crop-local
+        if delta:
+            pos_v = pallas_ncc.decode_delta(a_a, int(b_a[0]), hcnt, nv)
+        else:
+            pos_v = pallas_ncc.unpack_pos(a_a, b_a, nv)  # i32 [nv], crop-local
         if (Hc, Wc) != (H, W):
             # remap crop-local positions to full-page linear positions: the
             # replay (native or NumPy) decodes with the full-page row length

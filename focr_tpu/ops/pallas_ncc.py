@@ -207,6 +207,8 @@ def _candidates_impl(
     caph: int,
     eps: float,
     interpret: bool,
+    wire: str = "pos",
+    capb: int = 0,
 ):
     """Shared batched implementation; see ncc_candidates_pallas[_batch]."""
     from focr_tpu.ops.ncc import window_stats
@@ -323,7 +325,14 @@ def _candidates_impl(
         )
     # band-major [B, n_bands, Tp, tr] -> t-major [B, Tp, Hs8] (scan order)
     rcnt_tm = rcnt_bm.transpose(0, 2, 1, 3).reshape(B, Tp, Hs8)
-    return _compact_hits(mask_bytes, rcnt_tm, B, T, Tp, Hs8, WB, caph)
+    pos, hcnt, nzh = _compact_hits(mask_bytes, rcnt_tm, B, T, Tp, Hs8, WB, caph)
+    plane_bits = Hs8 * WB * 8
+    if wire == "delta":
+        # clamp to the format's hard bound: beyond it padding is pure waste
+        capb_eff = max(2, min(capb, delta_capb_bound(caph, plane_bits)))
+        stream, nnib = _encode_delta(pos, hcnt, nzh, plane_bits, capb_eff)
+        return stream, nnib, hcnt, nzh
+    return (*_pack_pos(pos, plane_bits), hcnt, nzh)
 
 
 _RPB = 32  # rank-compaction block granularity: mask rows per block (the
@@ -407,14 +416,14 @@ def _compact_hits(
           whose value rides a onehot multiply-reduce out of the same pass
       L-1 the owning word's 32 bits, unpacked in-register -> bit
 
-    Returns (pos_lo, pos_hi — the needle-LOCAL linear bit position
-    y*(WB*8) + x per slot, ascending per needle = scan order, split into the
-    packed wire format of _pack_pos; 0 padded — validity is positional:
-    entry j is real iff j < min(nz_hits, caph); hcnt [B, T] i32
-    exact candidate count per needle (cap-independent, so truncation is
-    detectable per needle); nz_hits [B] i32 = hcnt.sum()). Exact for every
-    population; overflow (nz_hits > caph) remains suffix-truncation, handled
-    by the caller's caph redo.
+    Returns (pos [B, caph] i32 — the needle-LOCAL linear bit position
+    y*(WB*8) + x per slot, ascending per needle = scan order, 0 padded —
+    validity is positional: entry j is real iff j < min(nz_hits, caph);
+    hcnt [B, T] i32 exact candidate count per needle (cap-independent, so
+    truncation is detectable per needle); nz_hits [B] i32 = hcnt.sum()).
+    The caller picks the off-chip wire encoding (_pack_pos or
+    _encode_delta). Exact for every population; overflow (nz_hits > caph)
+    remains suffix-truncation, handled by the caller's caph redo.
     """
     rcnt = rcnt_tm[:, :T]  # [B, T, Hs8] i32, already t-major (scan order)
     hcnt = rcnt.sum(axis=2, dtype=jnp.int32)  # [B, T] exact hits/needle
@@ -514,7 +523,7 @@ def _compact_hits(
 
     found = p[None] < jnp.minimum(nz_hits, jnp.int32(K))[:, None]
     pos = jnp.where(found, y * jnp.int32(WB * 8) + word * 32 + bit, 0)
-    return (*_pack_pos(pos, Hs8 * WB * 8), hcnt, nz_hits)
+    return pos, hcnt, nz_hits
 
 
 def _pack_pos(pos: jax.Array, plane_bits: int) -> tuple[jax.Array, jax.Array]:
@@ -558,8 +567,135 @@ def unpack_pos(lo: np.ndarray, hi: np.ndarray, nv: int) -> np.ndarray:
     return out | (h << 16)
 
 
+def delta_groups(plane_bits: int) -> int:
+    """Nibble-varint group count covering any position < plane_bits (3 data
+    bits per nibble group)."""
+    return max(1, -(-max(plane_bits - 1, 1).bit_length() // 3))
+
+
+def delta_capb_bound(caph: int, plane_bits: int) -> int:
+    """The delta stream's HARD byte bound for a caph-slot candidate buffer:
+    delta_groups nibbles per candidate (a delta can never exceed the
+    absolute position it compresses), so a buffer this size can never
+    overflow — the byte-overflow redo's terminal rung."""
+    return -(-caph * delta_groups(plane_bits) // 2)
+
+
+def _encode_delta(
+    pos: jax.Array,  # [B, K] i32 from _compact_hits (scan order, 0 padded)
+    hcnt: jax.Array,  # [B, T] i32 exact per-needle counts
+    nz: jax.Array,  # [B] i32 total candidates
+    plane_bits: int,
+    capb: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Delta + nibble-varint encode of the candidate positions, on device.
+
+    Candidates are ascending within each needle span (the compaction's scan
+    order), and hits cluster along text rows, so consecutive-position deltas
+    carry ~9.8 bits on the dense corpus vs the ~20-bit absolute positions —
+    the encoded stream measures ~1.9 B/candidate against _pack_pos's flat
+    2.5, and the d2h result fetch it feeds is the pipeline's dominant
+    off-chip cost (10-15 MB/s windows). Format, little-endian throughout:
+
+      value v  = absolute position at a span start (the first candidate of
+                 each needle with hcnt > 0), else delta from the previous
+                 candidate in the global stream order
+      varint   = 4-bit groups, low 3 bits data (low group first), bit 3 set
+                 while more groups follow; every value emits >= 1 group
+      stream   = nibbles packed 2/byte (low nibble first), zero padded to
+                 the static capb bytes
+
+    Span boundaries do NOT travel: the decoder recomputes them from hcnt
+    exactly as the encoder did (cumsum clipped to the valid prefix).
+
+    Returns (stream [B, capb] u8, nnib [B] i32 total nibbles). Overflow
+    (nnib > 2*capb) truncates the stream's suffix; the caller redoes at the
+    grown delta_capb rung, which the format can never exceed.
+
+    TPU notes: the variable-length placement is ONE scatter of [B, K, G]
+    nibbles at strictly increasing in-bounds indices (invalid lanes are
+    routed out of bounds and dropped by XLA's default scatter semantics);
+    everything else is elementwise + two row cumsums. Measured ~1 ms per
+    dense 16-page wave — noise against the fetch seconds it saves.
+    """
+    B, K = pos.shape
+    G = delta_groups(plane_bits)
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # span starts: exclusive cumsum of counts, clipped into the buffer
+    cs = jnp.cumsum(hcnt, axis=1, dtype=jnp.int32)
+    excl = cs - hcnt
+    starts = jnp.zeros((B, K + 1), jnp.bool_)
+    starts = starts.at[bidx, jnp.minimum(excl, jnp.int32(K))].set(True)
+    starts = starts[:, :K]
+    prev = jnp.pad(pos, ((0, 0), (1, 0)))[:, :K]
+    d = jnp.where(starts, pos, pos - prev)  # >= 0 (ascending within spans)
+    valid = jnp.arange(K, dtype=jnp.int32)[None] < jnp.minimum(
+        nz, jnp.int32(K)
+    )[:, None]
+    # groups per value: 1 + #{k >= 1 : d >= 8^k}
+    thr = jnp.asarray([8**k for k in range(1, G)], dtype=jnp.int32)
+    ng = 1 + (d[:, :, None] >= thr[None, None, :]).sum(axis=2, dtype=jnp.int32)
+    ng = jnp.where(valid, ng, jnp.int32(0))
+    off = jnp.cumsum(ng, axis=1, dtype=jnp.int32) - ng  # exclusive offsets
+    nnib = off[:, -1] + ng[:, -1]
+    k = jnp.arange(G, dtype=jnp.int32)
+    nib = (d[:, :, None] >> (jnp.int32(3) * k)[None, None, :]) & jnp.int32(7)
+    nib = nib | jnp.where(
+        k[None, None, :] < ng[:, :, None] - 1, jnp.int32(8), jnp.int32(0)
+    )
+    live = k[None, None, :] < ng[:, :, None]
+    idx = jnp.where(off[:, :, None] + k[None, None, :] < 2 * capb,
+                    off[:, :, None] + k[None, None, :], 2 * capb)
+    idx = jnp.where(live, idx, jnp.int32(2 * capb))  # OOB -> dropped
+    flat = jnp.zeros((B, 2 * capb), jnp.uint8)
+    flat = flat.at[bidx[:, :, None], idx].set(
+        nib.astype(jnp.uint8), mode="drop"
+    )
+    stream = flat[:, 0::2] | (flat[:, 1::2] << jnp.uint8(4))
+    return stream, nnib
+
+
+def decode_delta(
+    stream: np.ndarray, nnib: int, hcnt: np.ndarray, nv: int
+) -> np.ndarray:
+    """Host decode of one page's _encode_delta stream: the first ``nv``
+    candidate positions as i32, vectorized NumPy (no per-value loop — the
+    dense corpus carries ~27k values/page)."""
+    if nv == 0:
+        return np.zeros(0, np.int32)
+    nb = (int(nnib) + 1) // 2
+    by = stream[:nb]
+    nibs = np.empty(nb * 2, np.uint8)
+    nibs[0::2] = by & 15
+    nibs[1::2] = by >> 4
+    nibs = nibs[: int(nnib)]
+    data = (nibs & 7).astype(np.int64)
+    end_idx = np.flatnonzero((nibs & 8) == 0)  # last nibble of each value
+    if len(end_idx) != nv:
+        raise ValueError(
+            f"delta stream carries {len(end_idx)} values, expected {nv}"
+        )
+    starts_n = np.empty(nv, np.int64)
+    starts_n[0] = 0
+    starts_n[1:] = end_idx[:-1] + 1
+    lens = np.diff(np.append(starts_n, int(nnib)))
+    kk = np.arange(int(nnib), dtype=np.int64) - np.repeat(starts_n, lens)
+    vals = np.add.reduceat(data << (3 * kk), starts_n)  # [nv] i64
+    # segmented inclusive cumsum: span starts carry absolute positions
+    g = np.cumsum(vals)
+    gm1 = np.empty(nv, np.int64)
+    gm1[0] = 0
+    gm1[1:] = g[:-1]
+    cs = np.cumsum(hcnt.astype(np.int64))
+    sa = np.minimum(cs - hcnt, nv)
+    se = np.minimum(cs, nv)
+    base = np.repeat(gm1[np.minimum(sa, nv - 1)], se - sa)
+    return (g - base).astype(np.int32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "caph", "eps", "interpret")
+    jax.jit,
+    static_argnames=("nw", "nh", "caph", "eps", "interpret", "wire", "capb"),
 )
 def ncc_candidates_pallas(
     img: jax.Array,  # [H, W] inverted page (u8/i32 values 0..255)
@@ -573,10 +709,20 @@ def ncc_candidates_pallas(
     caph: int,
     eps: float = 1e-3,
     interpret: bool = False,
+    wire: str = "pos",
+    capb: int = 0,
 ):
     """Pallas-backed candidate search for one needle-size group, one page.
 
-    Returns (pos_lo, pos_hi, hcnt, nz_hits):
+    ``wire`` picks the off-chip result encoding: "pos" returns packed
+    absolute positions (below); "delta" returns (stream u8 [<=capb], nnib,
+    hcnt, nz_hits) — the delta + nibble-varint stream of _encode_delta
+    (~1.9 B/candidate on dense corpora vs 2.5), decoded by decode_delta.
+    ``capb`` is the caller-tracked stream byte budget (clamped to
+    delta_capb_bound); nnib > 2*stream-size means the suffix truncated and
+    the caller must redo at a bigger rung.
+
+    Returns for wire="pos" (pos_lo, pos_hi, hcnt, nz_hits):
       pos_lo/pos_hi — PACKED needle-LOCAL linear candidate positions in scan
            order (see _pack_pos for the 2.5-4 B/candidate wire format;
            unpack_pos decodes): pos = y*W1 + x with W1 =
@@ -599,14 +745,16 @@ def ncc_candidates_pallas(
     encoding ~2.4× — that fetch is the dominant per-page cost off-chip. The
     caller replays the exact f64 similarity per candidate position.
     """
-    lo, hi, hcnt, nzh = _candidates_impl(
-        img[None], needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret
+    a, b, hcnt, nzh = _candidates_impl(
+        img[None], needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret,
+        wire, capb,
     )
-    return lo[0], hi[0], hcnt[0], nzh
+    return a[0], b[0], hcnt[0], nzh
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nw", "nh", "caph", "eps", "interpret")
+    jax.jit,
+    static_argnames=("nw", "nh", "caph", "eps", "interpret", "wire", "capb"),
 )
 def ncc_candidates_pallas_batch(
     imgs: jax.Array,  # [B, H, W] inverted pages (u8/i32 values 0..255)
@@ -620,6 +768,8 @@ def ncc_candidates_pallas_batch(
     caph: int,
     eps: float = 1e-3,
     interpret: bool = False,
+    wire: str = "pos",
+    capb: int = 0,
 ):
     """Batched-page variant of ncc_candidates_pallas: one kernel dispatch
     sweeps a whole wave of same-shape pages (page axis = outermost grid dim)
@@ -627,11 +777,13 @@ def ncc_candidates_pallas_batch(
     wave costs one dispatch + one fetch instead of B of each — the off-chip
     round-trip tax was the dense-corpus pipeline's long pole.
 
-    Returns (pos_lo [B, ...], pos_hi [B, ...], hcnt [B, T], nz_hits [B]);
-    per-page semantics identical to ncc_candidates_pallas.
+    Returns (pos_lo [B, ...], pos_hi [B, ...], hcnt [B, T], nz_hits [B])
+    for wire="pos", (stream [B, <=capb] u8, nnib [B] i32, hcnt, nz_hits)
+    for wire="delta"; per-page semantics identical to ncc_candidates_pallas.
     """
     return _candidates_impl(
-        imgs, needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret
+        imgs, needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret,
+        wire, capb,
     )
 
 

@@ -365,7 +365,7 @@ def test_blank_pages_skip_device(mono_font_path):
     blank = np.full((96, 128), 255, np.uint8)
     wave = m._dispatch_wave([blank, blank])
     _, buckets, _, _ = wave
-    assert all(k == "empty" for _, k, _ in buckets[0][2])
+    assert all(k == "empty" for _, k, _, _ in buckets[0][2])
     assert m.get_hits(blank) == []
     assert m.get_hits_many([blank, blank]) == [[], []]
     assert m.get_hits_oracle(blank) == []

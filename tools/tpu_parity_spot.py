@@ -49,28 +49,33 @@ def main() -> int:
         page = synthesize_page(face, lines, dopts, ropts, alphabet, shape).copy()
         mask = rng.random(page.shape) < 0.02
         page[mask] = rng.integers(0, 256, int(mask.sum()), dtype=np.uint8)
+        wire = "delta" if seed % 2 == 0 else "pos"
         m = NccMatcher(
             face, alphabet, ropts,
             box_size=BoxSize(rng.choice(["font", "alphabet", "char"])),
             x_bits=int(rng.integers(0, 3)), y_bits=int(rng.integers(0, 2)),
             threshold=float(rng.uniform(0.3, 0.9)),
+            wire=wire,
         )
-        mode = "single"
+        mode = f"single/{wire}"
         if seed % 3 == 1:
             # exercise the grown-cap redo on the REAL backend: a tiny start
             # cap forces overflow -> power-of-two rung growth -> exact redo
             m._caph = {
                 (g.nh, g.nw): 2 if g.nw % 2 == 0 else 4 for g in m.groups
             }
-            mode = "cap-redo"
+            if wire == "delta":
+                # and the delta wire's byte-overflow redo ladder with it
+                m._capb = {(g.nh, g.nw): 2 for g in m.groups}
+            mode = f"cap-redo/{wire}"
         if seed % 3 == 2:
+            mode = f"wave/{wire}"
             # multi-page wave path: batched dispatch + ink crop + fused sweep
             # + struct collect (the production corpus pipeline)
             pages = [page, np.ascontiguousarray(page[::-1, ::-1]).copy(), page.copy()]
             structs = m.get_hits_many(pages, struct=True)
             hd = [s.to_objects() for s in structs]
             ho = [m.get_hits_oracle(p) for p in pages]
-            mode = "wave"
         else:
             hd = m.get_hits(page)
             ho = m.get_hits_oracle(page)
@@ -78,7 +83,7 @@ def main() -> int:
             (h.letter, h.x, h.y, h.w, h.h, np.float32(h.similarity).tobytes())
             for h in hs
         ]
-        if mode == "wave":
+        if mode.startswith("wave"):
             ok = [key(a) for a in hd] == [key(b) for b in ho]
             nh = sum(len(a) for a in hd)
         else:
