@@ -318,7 +318,7 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
     import jax.numpy as jnp
 
     from focr_tpu.models.ncc import (
-        _CAPB_START, _CAPH_START, ncc_ops_pallas_call_batch,
+        _CAPH_START, _CAPW_START, _KESC_START, ncc_ops_pallas_call_batch,
     )
     from focr_tpu.ops import pallas_ncc
 
@@ -337,7 +337,8 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
         key = (grp.nh, grp.nw)
         calls.append((
             grp, dev, matcher._caph.get(key, _CAPH_START),
-            matcher._capb.get(key, _CAPB_START),
+            matcher._capw.get(key, _CAPW_START),
+            matcher._kesc.get(key, _KESC_START),
         ))
     if not calls:  # nothing Pallas-able: a 0.0 reading would be misleading
         return None
@@ -345,9 +346,9 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
     def sweep(b):  # times the matcher's PRODUCTION wire encode too
         return [
             ncc_ops_pallas_call_batch(
-                b, grp, dev, caph=c, wire=matcher.wire, capb=cb
+                b, grp, dev, caph=c, wire=matcher.wire, capw=cw, kesc=ke
             )
-            for grp, dev, c, cb in calls
+            for grp, dev, c, cw, ke in calls
         ]
 
     outs = sweep(bufs[0])

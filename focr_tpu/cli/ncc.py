@@ -42,9 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device-engine kernel: xla (conv emitter, default via auto) "
                         "or pallas (fused bitmask kernel)")
     p.add_argument("--wire", choices=["delta", "pos"], default=None,
-                   help="Pallas candidate fetch encoding: delta (nibble-varint "
-                        "deltas, ~1.9 B/candidate, default) or pos (flat packed "
-                        "positions); FOCR_NCC_WIRE overrides the default")
+                   help="Pallas candidate fetch encoding: delta (u16 position "
+                        "deltas + escape side-channel, buffer sized by measured "
+                        "candidates; default) or pos (flat packed positions); "
+                        "FOCR_NCC_WIRE overrides the default")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--verbose-sync", action="store_true",
                    help="verbose with MEASURED per-search timing: serializes "

@@ -36,7 +36,7 @@ from focr_tpu.utils.device import force as device_force
 
 
 def ncc_ops_pallas_call(inv_j, grp, dev, caph: int, wire: str = "pos",
-                        capb: int = 0):
+                        capw: int = 0, kesc: int = 0):
     """Invoke the Pallas bitmask kernel for one size group (interpret mode
     off-TPU so CPU CI exercises the same code path). ``dev`` is the group's
     cached device-resident (bank, s_n, s2_n, threshold) tuple."""
@@ -53,12 +53,13 @@ def ncc_ops_pallas_call(inv_j, grp, dev, caph: int, wire: str = "pos",
         caph=caph,
         interpret=interpret,
         wire=wire,
-        capb=capb,
+        capw=capw,
+        kesc=kesc,
     )
 
 
 def ncc_ops_pallas_call_batch(inv_j, grp, dev, caph: int, wire: str = "pos",
-                              capb: int = 0):
+                              capw: int = 0, kesc: int = 0):
     """Batched-page variant: ONE kernel dispatch sweeps a [B, H, W] wave
     (page axis = outermost grid dim) and returns [B, ...] result buffers, so
     a wave costs one dispatch + one fetch per size group instead of B of
@@ -77,7 +78,8 @@ def ncc_ops_pallas_call_batch(inv_j, grp, dev, caph: int, wire: str = "pos",
         caph=caph,
         interpret=interpret,
         wire=wire,
-        capb=capb,
+        capw=capw,
+        kesc=kesc,
     )
 
 _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA path
@@ -88,13 +90,14 @@ _CAP = MAX_MATCHES + 1024  # per-needle candidate capacity (ε superset), XLA pa
 # need, and remember the bumped size for subsequent pages.
 _CAPH_START = 4096  # 10KB fetch (2.5B/candidate: packed local position)
 _CAPH_MAX = 49152  # 120KB fetch
-# Start rung for the delta wire's stream bytes (wire="delta"): sized so a
-# _CAPH_START-full buffer of typical dense-text candidates (~1.9 B each,
-# measured) fits with ~30% slack. Grows on measured need exactly like caph
-# (byte-overflow redo + remembered rung), on packimg.vals_rung quarter-pow2
-# rungs: the fetch is padding-sensitive (a pow2 snap can waste 45% of the
-# wire) while compiled-shape count stays bounded at 4/octave.
-_CAPB_START = 10240
+# Start rungs for the delta wire (wire="delta"): the u16 stream holds one
+# slot per MEASURED candidate (grown on overflow redo + remembered rung, on
+# packimg.vals_rung quarter-pow2 rungs — the fetch is padding-sensitive, a
+# pow2 snap can waste 45% of the wire, while compiled-shape count stays
+# bounded at 4/octave), and the u32 escape array covers the rare deltas
+# >= 0xFFFF (typically zero on dense text).
+_CAPW_START = 4096
+_KESC_START = 64
 
 _EMPTY = (
     np.zeros(0, np.int64),
@@ -372,9 +375,10 @@ class NccMatcher:
         assert wire in ("delta", "pos")
         self.wire = wire
         self._caph: dict[tuple[int, int], int] = {}  # (nh, nw) -> current caph
-        # (nh, nw) -> current delta-stream byte rung (wire="delta"); grows
-        # on byte-overflow redos exactly like _caph grows on count overflows
-        self._capb: dict[tuple[int, int], int] = {}
+        # (nh, nw) -> current delta-stream slot / escape rungs
+        # (wire="delta"); grow on overflow redos exactly like _caph
+        self._capw: dict[tuple[int, int], int] = {}
+        self._kesc: dict[tuple[int, int], int] = {}
         # observability: fused Pallas sweeps dispatched (the multi-host smoke
         # asserts the kernel tier actually ran, not just that results match)
         self.n_pallas_waves = 0
@@ -435,8 +439,8 @@ class NccMatcher:
         wave: the remote transport is latency-bound (an RPC round trip costs
         10-500ms window-dependent, while bandwidth sits at GB/s), so one
         execute call for all groups beats one per group. ``specs`` is a
-        tuple of (group index, caph, capb); returns the per-group outs
-        tuple."""
+        tuple of (group index, caph, capw, kesc); returns the per-group
+        outs tuple."""
         key = (inv_j.shape, specs, device)
         fn = self._fused_fns.get(key)
         if fn is None:
@@ -447,14 +451,15 @@ class NccMatcher:
 
             def f(inv):
                 outs = []
-                for gi, caph, capb in specs:
+                for gi, caph, capw, kesc in specs:
                     grp = groups[gi]
                     bank_j, s_n_j, s2_n_j, thr_j = devg[gi]
                     outs.append(
                         pallas_ncc.ncc_candidates_pallas_batch(
                             inv, bank_j, s_n_j, s2_n_j, thr_j,
                             nw=grp.nw, nh=grp.nh, caph=caph,
-                            interpret=interpret, wire=wire, capb=capb,
+                            interpret=interpret, wire=wire, capw=capw,
+                            kesc=kesc,
                         )
                     )
                 return tuple(outs)
@@ -899,7 +904,7 @@ class NccMatcher:
                 # enqueues early, which would fold the upload into the span)
                 device_force(inv_j)
             plans: list[tuple | None] = [None] * len(self.groups)
-            fspecs: list[tuple[int, int, int]] = []  # (gi, caph, capb) to fuse
+            fspecs: list[tuple] = []  # (gi, caph, capw, kesc) to fuse
             for gi, (grp, dev) in enumerate(
                 zip(self.groups, self._device_groups(device))
             ):
@@ -912,15 +917,17 @@ class NccMatcher:
                 if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
                     Hc, Wc, grp.nw, grp.nh, self.threshold
                 ):
-                    caph = self._caph.get((grp.nh, grp.nw), _CAPH_START)
-                    capb = self._capb.get((grp.nh, grp.nw), _CAPB_START)
+                    key = (grp.nh, grp.nw)
+                    caph = self._caph.get(key, _CAPH_START)
+                    capw = self._capw.get(key, _CAPW_START)
+                    kesc = self._kesc.get(key, _KESC_START)
                     if measure is None:
-                        fspecs.append((gi, caph, capb))
+                        fspecs.append((gi, caph, capw, kesc))
                         continue
                     # sync mode: per-group dispatch so the span is per-group
                     outs = ncc_ops_pallas_call_batch(
                         inv_j, grp, dev, caph=caph, wire=self.wire,
-                        capb=capb,
+                        capw=capw, kesc=kesc,
                     )
                     plans[gi] = (grp, "pallas", outs, caph)
                 else:
@@ -954,7 +961,7 @@ class NccMatcher:
                     measure[key] = measure.get(key, 0.0) + time.perf_counter() - tg
             if fspecs:
                 fused = self._fused_sweep(inv_j, tuple(fspecs), device)
-                for (gi, caph, capb), outs in zip(fspecs, fused):
+                for (gi, caph, _, _), outs in zip(fspecs, fused):
                     plans[gi] = (self.groups[gi], "pallas", outs, caph)
             buckets.append((idxs, inv_all, plans, crop))
         return batch, buckets, t0, device
@@ -985,16 +992,13 @@ class NccMatcher:
                         for pp in page_plans:
                             pp.append((grp, "empty", None))
                     elif kind == "pallas":
-                        # (lo, hi, ...) for wire="pos"; (stream, nnib, ...)
-                        # for wire="delta" — per-page slicing is identical
-                        # except the second buffer is per-page scalar there
+                        # (lo, hi, ...) for wire="pos"; (d16, esc, ...) for
+                        # wire="delta" — per-page slicing is identical
                         a, b, hcnt, nzh = next(it)
-                        delta = self.wire == "delta"
                         for k, pp in enumerate(page_plans):
-                            bk = b[k : k + 1] if delta else b[k]
                             pp.append(
                                 (grp, "pallas",
-                                 (a[k], bk, hcnt[k], nzh[k : k + 1], meta))
+                                 (a[k], b[k], hcnt[k], nzh[k : k + 1], meta))
                             )
                     else:
                         for pp in page_plans:
@@ -1233,53 +1237,74 @@ class NccMatcher:
         caph_used = meta if meta is not None else a_a.shape[0]
         delta = self.wire == "delta"
         inv_u8 = tables.inv_u8
-        # byte-rung overflow (delta wire only): the varint stream outgrew
-        # its byte rung (nnib is exact even when truncated, like nzh) —
-        # redo at a remembered bigger rung, the same discipline as _caph
-        byte_overflow = delta and int(b_a[0]) > 2 * a_a.shape[0]
-        if byte_overflow or (
+        # delta-wire stream overflows: the u16 buffer is sized by measured
+        # candidates (capw) and the escape array by measured escapes (kesc)
+        # — both counts are exact even when truncated (like nzh), so a redo
+        # at remembered bigger rungs is always sufficient, the same
+        # discipline as _caph
+        wire_overflow = delta and (
+            min(int(nzh[0]), caph_used) > a_a.shape[0]
+            or int(b_a[0]) > b_a.shape[0] - 1
+        )
+        if wire_overflow or (
             int(nzh[0]) > caph_used and caph_used < _CAPH_MAX
         ):
             # global candidate-cap overflow (suffix truncation — the rank
             # compaction is exact first-caph, so this is the only loss mode):
-            # grow this group's caph to the next POWER-OF-TWO rung above
-            # 1.125x the MEASURED candidate count (nzh is exact), capped at
-            # _CAPH_MAX — then re-dispatch THIS page once (an exact device
-            # redo beats per-needle host fallbacks). A denser later page
-            # re-grows the same way. Rungs are powers of two, NOT a tight
-            # 1024-granular fit, on purpose: a tight fit makes the compiled
-            # cap a function of corpus content (and of the page-parallel
+            # grow this group's caph to the next quarter-pow2 rung
+            # (packimg.vals_rung) above 1.125x the MEASURED candidate count
+            # (nzh is exact), with a 1.5x growth floor so adversarially
+            # creeping density cannot cascade redos, capped at _CAPH_MAX —
+            # then re-dispatch THIS page once (an exact device redo beats
+            # per-needle host fallbacks). A denser later page re-grows the
+            # same way. Rungs are deliberately coarse, NOT a tight
+            # 1024-granular fit: a tight fit makes the compiled cap a
+            # function of corpus content (and of the page-parallel
             # collect's benign growth races), so every new corpus minted a
-            # fresh fused-sweep executable — a 10-25s tunnel compile landing
-            # MID-RUN (measured: a 16-page wave collapsing from 64 to 4.7
-            # pages/s). Five stable rungs per group hit the persistent
-            # compile cache across runs/processes; the extra fetch slack
-            # costs ~15ms/wave at median d2h, three orders less than one
-            # compile.
+            # fresh fused-sweep executable — a 10-25s tunnel compile
+            # landing MID-RUN (measured: a 16-page wave collapsing from 64
+            # to 4.7 pages/s). At most 4 rungs per octave hit the
+            # persistent compile cache across runs/processes; rungs matter
+            # beyond the fetch (which the delta wire already decouples from
+            # caph) because the compaction's per-slot rank work scales with
+            # caph — a pow2 snap was measured to cost ~0.4-0.8 ms/page of
+            # pure slack at dense-corpus caps.
             if int(nzh[0]) > caph_used:
-                need = max(int(nzh[0]), 2 * caph_used)
-                caph_new = min(
-                    _CAPH_MAX, 1 << int(np.ceil(np.log2(need + (need >> 3))))
+                need = max(
+                    int(nzh[0]) + (int(nzh[0]) >> 3),
+                    caph_used + caph_used // 2,
                 )
+                caph_new = min(_CAPH_MAX, packimg.vals_rung(need))
                 # benign race under page-parallel collect: concurrent
                 # overflows each redo exactly and last-write-wins on the
                 # cached cap; a later page that needs more simply regrows
                 self._caph[(grp.nh, grp.nw)] = caph_new
             else:
-                caph_new = caph_used  # byte-rung overflow only
-            capb_new = 0
+                caph_new = caph_used  # wire-rung overflow only
+            capw_new = kesc_new = 0
             if delta:
-                # nnib is the EXACT nibble total of the min(nz, caph) kept
-                # candidates; scale it by the cap growth when the count also
-                # overflowed, add 12.5% headroom, snap to a quarter-pow2
-                # rung (packimg.vals_rung), and remember — future waves of
-                # this corpus then dispatch at a rung that fits
-                kept = max(min(int(nzh[0]), caph_used), 1)
-                want = min(int(nzh[0]), caph_new)
-                need_b = -(-int(b_a[0]) * want // kept) // 2 + 1
-                capb_new = packimg.vals_rung(need_b + (need_b >> 3))
                 key = (grp.nh, grp.nw)
-                self._capb[key] = max(self._capb.get(key, _CAPB_START), capb_new)
+                # one u16 slot per kept candidate, 12.5% headroom, snapped
+                # to a quarter-pow2 rung (packimg.vals_rung) and remembered
+                # — future waves of this corpus dispatch at a rung that fits
+                want = min(int(nzh[0]), caph_new)
+                # clamp to caph: the stream can never hold more candidates
+                capw_new = min(
+                    packimg.vals_rung(want + (want >> 3)), caph_new
+                )
+                # escapes: exact count among the kept prefix, scaled by the
+                # cap growth when the count also overflowed
+                kept = max(min(int(nzh[0]), caph_used), 1)
+                nesc = -(-int(b_a[0]) * want // kept)
+                kesc_new = max(
+                    _KESC_START, packimg.vals_rung(nesc + (nesc >> 3))
+                ) if nesc else _KESC_START
+                self._capw[key] = capw_new = max(
+                    self._capw.get(key, _CAPW_START), capw_new
+                )
+                self._kesc[key] = kesc_new = max(
+                    self._kesc.get(key, _KESC_START), kesc_new
+                )
             # the redo stays on the page's dispatch device: in the mesh
             # scatter path a default-device redo would re-upload every
             # group's constants to chip 0 and contend with its sweeps
@@ -1295,19 +1320,23 @@ class NccMatcher:
             )
             redo = ncc_ops_pallas_call(
                 inv_dev, grp, dev, caph=caph_new, wire=self.wire,
-                capb=capb_new,
+                capw=capw_new, kesc=kesc_new,
             )
             a_a, b_a, hcnt, nzh = (
                 np.atleast_1d(np.asarray(o)) for o in jax.device_get(redo)
             )
             caph_used = caph_new
-            if delta and int(b_a[0]) > 2 * a_a.shape[0]:
-                # the scaled estimate undershot (possible only when the
-                # count ALSO overflowed and the tail compresses worse than
-                # the kept prefix): one terminal redo at the hard bound
+            if delta and int(b_a[0]) > b_a.shape[0] - 1:
+                # the scaled escape estimate undershot (possible only when
+                # the count ALSO overflowed and the tail escapes more than
+                # the kept prefix): one terminal redo at the exact count
+                kesc_new = packimg.vals_rung(int(b_a[0]) + 8)
+                self._kesc[(grp.nh, grp.nw)] = max(
+                    self._kesc.get((grp.nh, grp.nw), _KESC_START), kesc_new
+                )
                 redo = ncc_ops_pallas_call(
                     inv_dev, grp, dev, caph=caph_new, wire=self.wire,
-                    capb=1 << 30,  # clamped to delta_capb_bound inside
+                    capw=capw_new, kesc=kesc_new,
                 )
                 a_a, b_a, hcnt, nzh = (
                     np.atleast_1d(np.asarray(o))
@@ -1319,7 +1348,7 @@ class NccMatcher:
         caph = caph_used
         nv = min(int(nzh[0]), caph)  # valid prefix (0-padded past it)
         if delta:
-            pos_v = pallas_ncc.decode_delta(a_a, int(b_a[0]), hcnt, nv)
+            pos_v = pallas_ncc.decode_delta(a_a, b_a, hcnt, nv)
         else:
             pos_v = pallas_ncc.unpack_pos(a_a, b_a, nv)  # i32 [nv], crop-local
         if (Hc, Wc) != (H, W):

@@ -208,7 +208,8 @@ def _candidates_impl(
     eps: float,
     interpret: bool,
     wire: str = "pos",
-    capb: int = 0,
+    capw: int = 0,
+    kesc: int = 0,
 ):
     """Shared batched implementation; see ncc_candidates_pallas[_batch]."""
     from focr_tpu.ops.ncc import window_stats
@@ -326,13 +327,12 @@ def _candidates_impl(
     # band-major [B, n_bands, Tp, tr] -> t-major [B, Tp, Hs8] (scan order)
     rcnt_tm = rcnt_bm.transpose(0, 2, 1, 3).reshape(B, Tp, Hs8)
     pos, hcnt, nzh = _compact_hits(mask_bytes, rcnt_tm, B, T, Tp, Hs8, WB, caph)
-    plane_bits = Hs8 * WB * 8
     if wire == "delta":
-        # clamp to the format's hard bound: beyond it padding is pure waste
-        capb_eff = max(2, min(capb, delta_capb_bound(caph, plane_bits)))
-        stream, nnib = _encode_delta(pos, hcnt, nzh, plane_bits, capb_eff)
-        return stream, nnib, hcnt, nzh
-    return (*_pack_pos(pos, plane_bits), hcnt, nzh)
+        d16, esc = _encode_delta(
+            pos, hcnt, nzh, max(capw, 1), max(kesc, 1)
+        )
+        return d16, esc, hcnt, nzh
+    return (*_pack_pos(pos, Hs8 * WB * 8), hcnt, nzh)
 
 
 _RPB = 32  # rank-compaction block granularity: mask rows per block (the
@@ -567,59 +567,58 @@ def unpack_pos(lo: np.ndarray, hi: np.ndarray, nv: int) -> np.ndarray:
     return out | (h << 16)
 
 
-def delta_groups(plane_bits: int) -> int:
-    """Nibble-varint group count covering any position < plane_bits (3 data
-    bits per nibble group)."""
-    return max(1, -(-max(plane_bits - 1, 1).bit_length() // 3))
 
 
-def delta_capb_bound(caph: int, plane_bits: int) -> int:
-    """The delta stream's HARD byte bound for a caph-slot candidate buffer:
-    delta_groups nibbles per candidate (a delta can never exceed the
-    absolute position it compresses), so a buffer this size can never
-    overflow — the byte-overflow redo's terminal rung."""
-    return -(-caph * delta_groups(plane_bits) // 2)
+_ESC = 0xFFFF  # u16 escape marker: the real value rides the escape array
 
 
 def _encode_delta(
     pos: jax.Array,  # [B, K] i32 from _compact_hits (scan order, 0 padded)
     hcnt: jax.Array,  # [B, T] i32 exact per-needle counts
     nz: jax.Array,  # [B] i32 total candidates
-    plane_bits: int,
-    capb: int,
+    capw: int,
+    kesc: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Delta + nibble-varint encode of the candidate positions, on device.
+    """Fixed-width u16 delta encode of the candidate positions, on device.
 
     Candidates are ascending within each needle span (the compaction's scan
-    order), and hits cluster along text rows, so consecutive-position deltas
-    carry ~9.8 bits on the dense corpus vs the ~20-bit absolute positions —
-    the encoded stream measures ~1.9 B/candidate against _pack_pos's flat
-    2.5, and the d2h result fetch it feeds is the pipeline's dominant
-    off-chip cost (10-15 MB/s windows). Format, little-endian throughout:
+    order), and hits cluster along text rows, so the consecutive-position
+    delta fits u16 for ~100% of dense-corpus candidates (measured max delta
+    ~81k only at span STARTS, which carry absolute positions) — 2 bytes per
+    candidate against _pack_pos's flat 2.5, and crucially the buffer is
+    sized by MEASURED candidate count (capw), not the caph slot rung, which
+    a power-of-two cap can overshoot 2x. The d2h result fetch this feeds is
+    the pipeline's dominant off-chip cost (10-15 MB/s windows, wall time
+    linear in bytes).
 
-      value v  = absolute position at a span start (the first candidate of
-                 each needle with hcnt > 0), else delta from the previous
+    Deltas >= 0xFFFF (sparse corpora: a needle's next hit rows away; every
+    span start on tall planes) store the 0xFFFF marker in the stream and
+    their true value, in stream order, in a small u32 escape array.
+
+    Why fixed-width instead of a varint: a nibble-varint encoder measured
+    ~1.9 B/candidate on the wire but cost ~0.75-1.6 ms/page of device time
+    (the [B, K, groups] expansion + variable-length scatter scale with the
+    cap), eating the fetch savings whenever the pipeline is device-bound —
+    and after rung padding its fetch size matched this scheme anyway. Here
+    the encode is one subtract + compare + clamp over [B, K] plus a
+    1-element-per-candidate scatter for the (typically zero) escapes.
+
+    Format:
+      value v  = absolute position at a span start (first candidate of each
+                 needle with hcnt > 0), else delta from the previous
                  candidate in the global stream order
-      varint   = 4-bit groups, low 3 bits data (low group first), bit 3 set
-                 while more groups follow; every value emits >= 1 group
-      stream   = nibbles packed 2/byte (low nibble first), zero padded to
-                 the static capb bytes
+      d16[j]   = v if v < 0xFFFF else the 0xFFFF marker, j < min(nv, capw)
+      esc      = [count, v_0, v_1, ...] u32, escape values in stream order
 
     Span boundaries do NOT travel: the decoder recomputes them from hcnt
     exactly as the encoder did (cumsum clipped to the valid prefix).
 
-    Returns (stream [B, capb] u8, nnib [B] i32 total nibbles). Overflow
-    (nnib > 2*capb) truncates the stream's suffix; the caller redoes at the
-    grown delta_capb rung, which the format can never exceed.
-
-    TPU notes: the variable-length placement is ONE scatter of [B, K, G]
-    nibbles at strictly increasing in-bounds indices (invalid lanes are
-    routed out of bounds and dropped by XLA's default scatter semantics);
-    everything else is elementwise + two row cumsums. Measured ~1 ms per
-    dense 16-page wave — noise against the fetch seconds it saves.
+    Returns (d16 [B, min(capw, K)] u16, esc [B, 1+kesc] u32 with the EXACT
+    escape count in slot 0). Overflow — nv > capw or count > kesc —
+    truncates a suffix; both are detectable exactly (nz and esc[0] are
+    cap-independent), and the caller redoes at grown rungs.
     """
     B, K = pos.shape
-    G = delta_groups(plane_bits)
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
     # span starts: exclusive cumsum of counts, clipped into the buffer
     cs = jnp.cumsum(hcnt, axis=1, dtype=jnp.int32)
@@ -632,55 +631,40 @@ def _encode_delta(
     valid = jnp.arange(K, dtype=jnp.int32)[None] < jnp.minimum(
         nz, jnp.int32(K)
     )[:, None]
-    # groups per value: 1 + #{k >= 1 : d >= 8^k}
-    thr = jnp.asarray([8**k for k in range(1, G)], dtype=jnp.int32)
-    ng = 1 + (d[:, :, None] >= thr[None, None, :]).sum(axis=2, dtype=jnp.int32)
-    ng = jnp.where(valid, ng, jnp.int32(0))
-    off = jnp.cumsum(ng, axis=1, dtype=jnp.int32) - ng  # exclusive offsets
-    nnib = off[:, -1] + ng[:, -1]
-    k = jnp.arange(G, dtype=jnp.int32)
-    nib = (d[:, :, None] >> (jnp.int32(3) * k)[None, None, :]) & jnp.int32(7)
-    nib = nib | jnp.where(
-        k[None, None, :] < ng[:, :, None] - 1, jnp.int32(8), jnp.int32(0)
-    )
-    live = k[None, None, :] < ng[:, :, None]
-    idx = jnp.where(off[:, :, None] + k[None, None, :] < 2 * capb,
-                    off[:, :, None] + k[None, None, :], 2 * capb)
-    idx = jnp.where(live, idx, jnp.int32(2 * capb))  # OOB -> dropped
-    flat = jnp.zeros((B, 2 * capb), jnp.uint8)
-    flat = flat.at[bidx[:, :, None], idx].set(
-        nib.astype(jnp.uint8), mode="drop"
-    )
-    stream = flat[:, 0::2] | (flat[:, 1::2] << jnp.uint8(4))
-    return stream, nnib
+    d = jnp.where(valid, d, jnp.int32(0))
+    d16 = jnp.minimum(d, jnp.int32(_ESC)).astype(jnp.uint16)[:, : min(capw, K)]
+    is_esc = valid & (d >= jnp.int32(_ESC))
+    rank = jnp.cumsum(is_esc.astype(jnp.int32), axis=1, dtype=jnp.int32)
+    nesc = rank[:, -1]
+    # escape j lands at slot rank-1 (stream order); overflow/non-escape
+    # lanes route out of bounds and drop (XLA default scatter semantics)
+    idx = jnp.where(is_esc & (rank <= kesc), rank, jnp.int32(kesc + 1))
+    esc = jnp.zeros((B, 1 + kesc), jnp.uint32)
+    esc = esc.at[bidx, idx].set(d.astype(jnp.uint32), mode="drop")
+    esc = esc.at[:, 0].set(nesc.astype(jnp.uint32))
+    return d16, esc
 
 
 def decode_delta(
-    stream: np.ndarray, nnib: int, hcnt: np.ndarray, nv: int
+    d16: np.ndarray, esc: np.ndarray, hcnt: np.ndarray, nv: int
 ) -> np.ndarray:
     """Host decode of one page's _encode_delta stream: the first ``nv``
-    candidate positions as i32, vectorized NumPy (no per-value loop — the
-    dense corpus carries ~27k values/page)."""
+    candidate positions as i32, vectorized NumPy. The caller must have
+    resolved overflows (nv <= len(d16), esc[0] <= len(esc)-1) via the redo
+    path first; truncation here fails loudly."""
     if nv == 0:
         return np.zeros(0, np.int32)
-    nb = (int(nnib) + 1) // 2
-    by = stream[:nb]
-    nibs = np.empty(nb * 2, np.uint8)
-    nibs[0::2] = by & 15
-    nibs[1::2] = by >> 4
-    nibs = nibs[: int(nnib)]
-    data = (nibs & 7).astype(np.int64)
-    end_idx = np.flatnonzero((nibs & 8) == 0)  # last nibble of each value
-    if len(end_idx) != nv:
-        raise ValueError(
-            f"delta stream carries {len(end_idx)} values, expected {nv}"
-        )
-    starts_n = np.empty(nv, np.int64)
-    starts_n[0] = 0
-    starts_n[1:] = end_idx[:-1] + 1
-    lens = np.diff(np.append(starts_n, int(nnib)))
-    kk = np.arange(int(nnib), dtype=np.int64) - np.repeat(starts_n, lens)
-    vals = np.add.reduceat(data << (3 * kk), starts_n)  # [nv] i64
+    if nv > d16.shape[0]:
+        raise ValueError(f"delta stream truncated: {d16.shape[0]} < {nv}")
+    vals = d16[:nv].astype(np.int64)
+    mk = np.flatnonzero(vals == _ESC)
+    nesc = int(esc[0])
+    if nesc != len(mk):
+        raise ValueError(f"escape count mismatch: {nesc} != {len(mk)}")
+    if nesc:
+        if nesc > esc.shape[0] - 1:
+            raise ValueError(f"escapes truncated: {esc.shape[0] - 1} < {nesc}")
+        vals[mk] = esc[1 : 1 + nesc].astype(np.int64)
     # segmented inclusive cumsum: span starts carry absolute positions
     g = np.cumsum(vals)
     gm1 = np.empty(nv, np.int64)
@@ -695,7 +679,8 @@ def decode_delta(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nw", "nh", "caph", "eps", "interpret", "wire", "capb"),
+    static_argnames=("nw", "nh", "caph", "eps", "interpret", "wire", "capw",
+                     "kesc"),
 )
 def ncc_candidates_pallas(
     img: jax.Array,  # [H, W] inverted page (u8/i32 values 0..255)
@@ -710,17 +695,19 @@ def ncc_candidates_pallas(
     eps: float = 1e-3,
     interpret: bool = False,
     wire: str = "pos",
-    capb: int = 0,
+    capw: int = 0,
+    kesc: int = 0,
 ):
     """Pallas-backed candidate search for one needle-size group, one page.
 
     ``wire`` picks the off-chip result encoding: "pos" returns packed
-    absolute positions (below); "delta" returns (stream u8 [<=capb], nnib,
-    hcnt, nz_hits) — the delta + nibble-varint stream of _encode_delta
-    (~1.9 B/candidate on dense corpora vs 2.5), decoded by decode_delta.
-    ``capb`` is the caller-tracked stream byte budget (clamped to
-    delta_capb_bound); nnib > 2*stream-size means the suffix truncated and
-    the caller must redo at a bigger rung.
+    absolute positions (below); "delta" returns (d16 u16 [<=capw], esc u32
+    [1+kesc], hcnt, nz_hits) — the fixed-width delta stream of
+    _encode_delta (2 B/candidate, buffer sized by measured candidate count
+    rather than the caph rung), decoded by decode_delta. ``capw``/``kesc``
+    are the caller-tracked stream/escape capacities; min(nz, caph) > capw
+    or esc[0] > kesc means a truncated suffix and the caller must redo at
+    bigger rungs.
 
     Returns for wire="pos" (pos_lo, pos_hi, hcnt, nz_hits):
       pos_lo/pos_hi — PACKED needle-LOCAL linear candidate positions in scan
@@ -747,14 +734,15 @@ def ncc_candidates_pallas(
     """
     a, b, hcnt, nzh = _candidates_impl(
         img[None], needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret,
-        wire, capb,
+        wire, capw, kesc,
     )
     return a[0], b[0], hcnt[0], nzh
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nw", "nh", "caph", "eps", "interpret", "wire", "capb"),
+    static_argnames=("nw", "nh", "caph", "eps", "interpret", "wire", "capw",
+                     "kesc"),
 )
 def ncc_candidates_pallas_batch(
     imgs: jax.Array,  # [B, H, W] inverted pages (u8/i32 values 0..255)
@@ -769,7 +757,8 @@ def ncc_candidates_pallas_batch(
     eps: float = 1e-3,
     interpret: bool = False,
     wire: str = "pos",
-    capb: int = 0,
+    capw: int = 0,
+    kesc: int = 0,
 ):
     """Batched-page variant of ncc_candidates_pallas: one kernel dispatch
     sweeps a whole wave of same-shape pages (page axis = outermost grid dim)
@@ -778,12 +767,13 @@ def ncc_candidates_pallas_batch(
     round-trip tax was the dense-corpus pipeline's long pole.
 
     Returns (pos_lo [B, ...], pos_hi [B, ...], hcnt [B, T], nz_hits [B])
-    for wire="pos", (stream [B, <=capb] u8, nnib [B] i32, hcnt, nz_hits)
-    for wire="delta"; per-page semantics identical to ncc_candidates_pallas.
+    for wire="pos", (d16 [B, <=capw] u16, esc [B, 1+kesc] u32, hcnt,
+    nz_hits) for wire="delta"; per-page semantics identical to
+    ncc_candidates_pallas.
     """
     return _candidates_impl(
         imgs, needles, s_n, s2_n, threshold, nw, nh, caph, eps, interpret,
-        wire, capb,
+        wire, capw, kesc,
     )
 
 

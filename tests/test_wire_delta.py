@@ -1,9 +1,10 @@
-"""The delta + nibble-varint candidate wire format (ops/pallas_ncc.py:
-_encode_delta / decode_delta / delta_capb) and its NccMatcher plumbing.
+"""The fixed-width u16 delta candidate wire (ops/pallas_ncc.py:
+_encode_delta / decode_delta) and its NccMatcher plumbing.
 
 Bit parity is the product: the wire must be lossless for every candidate
-population, the grown byte rung must be overflow-proof by construction, and
-a matcher on wire="delta" must emit byte-identical results to wire="pos".
+population (escapes carry any delta the u16 cannot), overflow of either
+buffer must be exactly detectable (redo-able), and a matcher on
+wire="delta" must emit byte-identical results to wire="pos".
 """
 
 import numpy as np
@@ -28,6 +29,7 @@ def _random_candidates(rng, B, T, K, plane_bits, dense_rows=False):
                 start = int(rng.integers(0, max(plane_bits - 4 * K, 1)))
                 p = start + np.cumsum(rng.integers(1, 9, m))
             else:
+                # sparse random: most deltas and every span start escape
                 p = np.sort(rng.choice(plane_bits, m, replace=False))
             pos[b, j : j + m] = p.astype(np.int32)
             j += m
@@ -36,46 +38,58 @@ def _random_candidates(rng, B, T, K, plane_bits, dense_rows=False):
     return pos, hcnt, nz
 
 
+def _encode(pos, hcnt, nz, capw, kesc):
+    d16, esc = P._encode_delta(
+        jnp.asarray(pos), jnp.asarray(hcnt), jnp.asarray(nz), capw, kesc
+    )
+    return np.asarray(d16), np.asarray(esc)
+
+
 @pytest.mark.parametrize("dense_rows", [False, True])
-@pytest.mark.parametrize("tight", [False, True])
-def test_roundtrip_fuzz(dense_rows, tight):
+def test_roundtrip_fuzz(dense_rows):
     rng = np.random.default_rng(7 if dense_rows else 8)
     B, T, K = 3, 6, 128
     plane_bits = 1 << 20
-    bound = P.delta_capb_bound(K, plane_bits)
-    capb = K // 2 if tight else bound  # tight rung exercises overflow detect
     for _ in range(20):
         pos, hcnt, nz = _random_candidates(rng, B, T, K, plane_bits, dense_rows)
-        stream, nnib = P._encode_delta(
-            jnp.asarray(pos), jnp.asarray(hcnt), jnp.asarray(nz),
-            plane_bits, capb,
-        )
-        stream, nnib = np.asarray(stream), np.asarray(nnib)
+        d16, esc = _encode(pos, hcnt, nz, K, K)  # ample rungs: no overflow
         for b in range(B):
             nv = min(int(nz[b]), K)
-            if int(nnib[b]) > 2 * capb:
-                assert tight, "the hard-bound rung must never overflow"
-                continue
-            dec = P.decode_delta(stream[b], int(nnib[b]), hcnt[b], nv)
+            dec = P.decode_delta(d16[b], esc[b], hcnt[b], nv)
             np.testing.assert_array_equal(dec, pos[b, :nv])
 
 
-def test_grown_rung_is_overflow_proof():
-    """Worst case: every candidate at the format's widest varint (absolute
-    positions near plane_bits for single-hit needles)."""
-    K = 64
-    plane_bits = 1 << 20
-    T = K
-    hcnt = np.ones((1, T), np.int32)  # every value is a span start (absolute)
-    pos = np.arange(plane_bits - K, plane_bits, dtype=np.int32)[None]
-    nz = np.array([K], np.int32)
-    capb = P.delta_capb_bound(K, plane_bits)
-    stream, nnib = P._encode_delta(
-        jnp.asarray(pos), jnp.asarray(hcnt), jnp.asarray(nz), plane_bits, capb
-    )
-    assert int(np.asarray(nnib)[0]) <= 2 * capb
-    dec = P.decode_delta(np.asarray(stream)[0], int(np.asarray(nnib)[0]), hcnt[0], K)
+def test_escape_boundaries():
+    """Deltas of exactly 0xFFFE (inline max), 0xFFFF and huge (escaped)."""
+    hcnt = np.array([[4]], np.int32)
+    pos = np.cumsum([7, 0xFFFE, 0xFFFF, 1 << 19]).astype(np.int32)[None]
+    nz = np.array([4], np.int32)
+    d16, esc = _encode(pos, hcnt, nz, 8, 8)
+    assert int(esc[0, 0]) == 2  # 0xFFFF and the huge delta escape
+    dec = P.decode_delta(d16[0], esc[0], hcnt[0], 4)
     np.testing.assert_array_equal(dec, pos[0])
+
+
+def test_overflows_detectable_and_decode_fails_loudly():
+    rng = np.random.default_rng(3)
+    B, T, K = 1, 4, 64
+    plane_bits = 1 << 20
+    pos, hcnt, nz = _random_candidates(rng, B, T, K, plane_bits)
+    nv = min(int(nz[0]), K)
+    if nv < 8:  # keep the fixture meaningful
+        pytest.skip("degenerate draw")
+    # capw truncation: exact detection from nz vs buffer size
+    d16, esc = _encode(pos, hcnt, nz, 4, K)
+    assert nv > d16.shape[1]
+    with pytest.raises(ValueError, match="truncated"):
+        P.decode_delta(d16[0], esc[0], hcnt[0], nv)
+    # escape truncation: exact count survives in slot 0
+    d16, esc = _encode(pos, hcnt, nz, K, 1)
+    true_esc = int(_encode(pos, hcnt, nz, K, K)[1][0, 0])
+    assert int(esc[0, 0]) == true_esc
+    if true_esc > 1:
+        with pytest.raises(ValueError, match="escape|truncated"):
+            P.decode_delta(d16[0], esc[0], hcnt[0], nv)
 
 
 def test_cap_overflow_truncation_decodes_valid_prefix():
@@ -99,34 +113,15 @@ def test_cap_overflow_truncation_decodes_valid_prefix():
             j += m
             if j >= K:
                 break
-    capb = P.delta_capb_bound(K, plane_bits)
-    stream, nnib = P._encode_delta(
-        jnp.asarray(pos), jnp.asarray(hcnt), jnp.asarray(nz), plane_bits, capb
-    )
-    stream, nnib = np.asarray(stream), np.asarray(nnib)
+    d16, esc = _encode(pos, hcnt, nz, K, K)
     for b in range(B):
         nv = min(int(nz[b]), K)
-        dec = P.decode_delta(stream[b], int(nnib[b]), hcnt[b], nv)
+        dec = P.decode_delta(d16[b], esc[b], hcnt[b], nv)
         np.testing.assert_array_equal(dec, pos[b, :nv])
 
 
-def test_corrupt_stream_fails_loudly():
-    with pytest.raises(ValueError, match="delta stream"):
-        # continuation bit set on the final nibble: one value short
-        P.decode_delta(np.array([0x88], np.uint8), 2, np.array([2], np.int32), 2)
-
-
-def test_delta_capb_bound():
-    for plane_bits in (1 << 14, 1 << 20, 1 << 24):
-        g = P.delta_groups(plane_bits)
-        assert 8 ** (g - 1) < plane_bits <= 8**g or g == 1
-        for caph in (4096, 8192, 49152):
-            assert P.delta_capb_bound(caph, plane_bits) == -(-caph * g // 2)
-
-
 def test_matcher_wire_parity():
-    """delta vs pos wire through the full matcher: identical hits, and the
-    delta matcher's stream really is the smaller fetch."""
+    """delta vs pos wire through the full matcher: identical hits."""
     from focr_tpu.fonts.ft import Face
     from focr_tpu.models.ncc import NccMatcher
     from focr_tpu.models.types import NCC_DEFAULT_ALPHABET, RenderOptions
@@ -153,54 +148,9 @@ def test_matcher_wire_parity():
     assert outs["pos"] == outs["delta"]
 
 
-def test_matcher_delta_cap_redo():
-    """A tiny start caph must trigger the cap redo on the delta wire and
-    still produce pos-wire-identical results."""
-    from focr_tpu.fonts.ft import Face
-    from focr_tpu.models import ncc as ncc_mod
-    from focr_tpu.models.types import NCC_DEFAULT_ALPHABET, RenderOptions
-
-    from focr_tpu.io.synth import synthesize_page
-    from focr_tpu.models.types import DecodeOptions
-
-    face = Face("/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf")
-    ropts = RenderOptions(size=11.0)
-    dopts = DecodeOptions(
-        x_start=8, y_start=10, line_height=11, line_advance=13, width=150
-    )
-    alpha = NCC_DEFAULT_ALPHABET[:10]
-    page = synthesize_page(
-        face, ["ABCDABCDABCDABCD"] * 6, dopts, ropts, alpha, (110, 170)
-    )
-
-    def run(wire):
-        m = ncc_mod.NccMatcher(
-            face, NCC_DEFAULT_ALPHABET[:10], ropts, x_bits=1,
-            device_kernel="pallas", wire=wire,
-        )
-        hits = m.get_hits(page)
-        return m, [
-            (h.letter, h.x, h.y, np.float32(h.similarity).tobytes())
-            for h in hits
-        ]
-
-    _, want = run("pos")
-    orig = ncc_mod._CAPH_START
-    ncc_mod._CAPH_START = 8  # force overflow -> redo path
-    try:
-        m, got = run("delta")
-    finally:
-        ncc_mod._CAPH_START = orig
-    assert got == want
-    assert m._caph, "cap redo should have grown a group's caph"
-
-
-def test_matcher_delta_byte_redo():
-    """A tiny start byte rung must trigger the byte-overflow redo (count cap
-    NOT overflowed), grow the remembered rung, and stay bit-identical."""
+def _text_page_and_alpha():
     from focr_tpu.fonts.ft import Face
     from focr_tpu.io.synth import synthesize_page
-    from focr_tpu.models import ncc as ncc_mod
     from focr_tpu.models.types import (
         DecodeOptions, NCC_DEFAULT_ALPHABET, RenderOptions,
     )
@@ -214,25 +164,53 @@ def test_matcher_delta_byte_redo():
     page = synthesize_page(
         face, ["ABCDABCDABCDABCD"] * 6, dopts, ropts, alpha, (110, 170)
     )
+    return face, ropts, alpha, page
 
-    def run(wire):
-        m = ncc_mod.NccMatcher(
-            face, alpha, ropts, x_bits=1, device_kernel="pallas", wire=wire
-        )
-        hits = m.get_hits(page)
-        return m, [
-            (h.letter, h.x, h.y, np.float32(h.similarity).tobytes())
-            for h in hits
-        ]
 
-    _, want = run("pos")
-    orig = ncc_mod._CAPB_START
-    ncc_mod._CAPB_START = 2  # 4 nibbles total: guaranteed byte overflow
+def _run_matcher(face, ropts, alpha, page, wire):
+    from focr_tpu.models import ncc as ncc_mod
+
+    m = ncc_mod.NccMatcher(
+        face, alpha, ropts, x_bits=1, device_kernel="pallas", wire=wire
+    )
+    hits = m.get_hits(page)
+    return m, [
+        (h.letter, h.x, h.y, np.float32(h.similarity).tobytes())
+        for h in hits
+    ]
+
+
+def test_matcher_delta_cap_redo():
+    """A tiny start caph must trigger the cap redo on the delta wire and
+    still produce pos-wire-identical results."""
+    from focr_tpu.models import ncc as ncc_mod
+
+    face, ropts, alpha, page = _text_page_and_alpha()
+    _, want = _run_matcher(face, ropts, alpha, page, "pos")
+    orig = ncc_mod._CAPH_START
+    ncc_mod._CAPH_START = 8  # force overflow -> redo path
     try:
-        m, got = run("delta")
+        m, got = _run_matcher(face, ropts, alpha, page, "delta")
     finally:
-        ncc_mod._CAPB_START = orig
+        ncc_mod._CAPH_START = orig
     assert got == want
-    assert m._capb and all(v > 2 for v in m._capb.values()), (
-        "byte redo should have grown a stream rung"
+    assert m._caph, "cap redo should have grown a group's caph"
+
+
+def test_matcher_delta_stream_redo():
+    """A tiny start capw must trigger the stream-overflow redo (count cap
+    NOT overflowed), grow the remembered rung, and stay bit-identical."""
+    from focr_tpu.models import ncc as ncc_mod
+
+    face, ropts, alpha, page = _text_page_and_alpha()
+    _, want = _run_matcher(face, ropts, alpha, page, "pos")
+    orig = ncc_mod._CAPW_START
+    ncc_mod._CAPW_START = 2  # guaranteed stream truncation
+    try:
+        m, got = _run_matcher(face, ropts, alpha, page, "delta")
+    finally:
+        ncc_mod._CAPW_START = orig
+    assert got == want
+    assert m._capw and all(v > 2 for v in m._capw.values()), (
+        "stream redo should have grown a rung"
     )
