@@ -395,6 +395,7 @@ class NccMatcher:
         # singletons alive for the process, never reallocated.
         self._sharded_fns: dict[tuple, object] = {}  # (mesh, group idx) -> fn
         self._fused_fns: dict[tuple, object] = {}  # fused wave-sweep jits
+        self._last_depth = 2  # final pipeline depth of the last corpus run
 
     def _wave_for(self, pages: list[np.ndarray]) -> int:
         """Pages per batched dispatch wave. Small waves (16) with the depth-2
@@ -550,22 +551,48 @@ class NccMatcher:
 
             from collections import deque
 
-            # up to 2 waves in flight beyond the one being collected: the
-            # upload of wave k+2 streams while wave k's results drain d2h, so
-            # the half-duplex-ish tunnel link never idles during collect.
-            # Bounded depth on purpose: unbounded dispatch has tripped device
-            # FailedPrecondition on long corpora.
-            depth = int(os.environ.get("FOCR_NCC_DEPTH", "2"))
+            # up to `depth` waves in flight beyond the one being collected:
+            # the upload of wave k+2 streams while wave k's results drain
+            # d2h, so the half-duplex-ish tunnel link never idles during
+            # collect. Bounded depth on purpose: unbounded dispatch has
+            # tripped device FailedPrecondition on long corpora. ADAPTIVE
+            # (unless FOCR_NCC_DEPTH pins it): the remote transport
+            # occasionally stalls a single transfer for seconds (measured:
+            # the same wave shape 4.7 vs 71.6 pages/s at depth 2 vs 4 in the
+            # same minute, and one-off 10-70s fetches) — when a wave's fetch
+            # takes 3x the running median, later waves should keep
+            # uploading/sweeping behind it, so the pipeline deepens for the
+            # rest of the run. Depth changes no compiled shape, making this
+            # the one transport-adaptive knob that is compile-hazard-free.
+            env_depth = os.environ.get("FOCR_NCC_DEPTH")
+            state = {
+                "depth": int(env_depth) if env_depth else 2,
+                "fixed": bool(env_depth),
+                "hist": [],
+            }
+
+            def fetch_timed(f):
+                disp = f.result()
+                t0 = time.perf_counter()
+                fetched = self._fetch_wave(disp)
+                dt = time.perf_counter() - t0
+                h = state["hist"]
+                if not state["fixed"] and len(h) >= 2:
+                    med = sorted(h)[len(h) // 2]
+                    if dt > max(0.5, 3.0 * med) and state["depth"] < 4:
+                        state["depth"] += 1
+                h.append(dt)
+                return fetched
+
             pending: deque[cf.Future] = deque()
             for s in range(0, len(pages), wave):
                 dfut = dpool.submit(self._dispatch_wave, pages[s : s + wave])
-                pending.append(
-                    pool.submit(lambda f=dfut: self._fetch_wave(f.result()))
-                )
-                if len(pending) > depth:
+                pending.append(pool.submit(fetch_timed, dfut))
+                if len(pending) > state["depth"]:
                     out.extend(collect_wave(pending.popleft().result()))
             while pending:
                 out.extend(collect_wave(pending.popleft().result()))
+            self._last_depth = state["depth"]  # observability + tests
         return out
 
     def get_hits_many_sharded(

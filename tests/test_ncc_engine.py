@@ -1,5 +1,7 @@
 """NccMatcher device path vs host oracle: exact parity; e2e text recovery."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -274,3 +276,49 @@ def test_line_matches_truth_rules():
     assert not m("ac", "abc")  # run missing
     assert not m("abcX", "abc")  # trailing run added
     assert not m("", "a") and m("", "")
+
+
+def test_adaptive_pipeline_depth(mono_font_path, monkeypatch):
+    """A stalled wave fetch must deepen the pipeline (shape-stable adaptive
+    knob) without changing results or their order."""
+    from focr_tpu.models.ncc import NccMatcher
+    from focr_tpu.models.types import RenderOptions
+
+    face = Face(mono_font_path)
+    rng = np.random.default_rng(2)
+    pages = []
+    for i in range(8):
+        p = np.full((40, 60), 255, np.uint8)
+        p[10:19, 5 + i : 12 + i] = rng.integers(0, 120, (9, 7))
+        pages.append(p)
+
+    monkeypatch.setenv("FOCR_NCC_WAVE", "1")  # one page per wave: 8 waves
+    monkeypatch.delenv("FOCR_NCC_DEPTH", raising=False)
+
+    def run(stall: bool):
+        m = NccMatcher(
+            face, "AB", RenderOptions(size=11.0), device_kernel="pallas"
+        )
+        orig = m._fetch_wave
+        calls = {"n": 0}
+
+        def stalling(disp):
+            calls["n"] += 1
+            if stall and calls["n"] == 4:
+                time.sleep(0.6)  # > the 0.5s stall floor
+            return orig(disp)
+
+        m._fetch_wave = stalling
+        hits = m.get_hits_many(pages, struct=True)
+        key = [
+            (s.needle_id.tobytes(), s.x.tobytes(), s.y.tobytes(),
+             s.sim.tobytes())
+            for s in hits
+        ]
+        return m, key
+
+    m0, want = run(stall=False)
+    assert m0._last_depth == 2
+    m1, got = run(stall=True)
+    assert got == want
+    assert m1._last_depth > 2, "stall should have deepened the pipeline"
