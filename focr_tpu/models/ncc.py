@@ -398,20 +398,25 @@ class NccMatcher:
         self._last_depth = 2  # final pipeline depth of the last corpus run
 
     def _wave_for(self, pages: list[np.ndarray]) -> int:
-        """Pages per batched dispatch wave. Small waves (16) with the depth-2
-        dispatch pipeline beat one big wave: the remote transport's d2h
-        bandwidth swings 25-200 MB/s between windows, and in a slow window a
-        single corpus-sized wave serializes upload -> compute -> fetch ->
-        collect with zero overlap (measured 64-page corpus: wave 8-16 at
-        33-40 pages/s vs wave 64 at 12-22 in the same windows). The memory
-        bound still shrinks waves for tall pages (largest per-group mask
-        plane under the device HBM budget — see _hbm_budget).
+        """Pages per batched dispatch wave. Small waves with the pipelined
+        dispatch beat one big wave: the remote transport's d2h bandwidth
+        swings 25-200 MB/s between windows, and in a slow window a single
+        corpus-sized wave serializes upload -> compute -> fetch -> collect
+        with zero overlap (measured 64-page corpus: wave 8-16 at 33-40
+        pages/s vs wave 64 at 12-22 in the same windows). 8 beats 16 on the
+        same corpus (measured grid, 3 interleaved reps: wave 8 at 63.5-79.8
+        pages/s vs wave 16 at 44.4-73.7): halving the wave halves the
+        pipeline's fill/drain cost — at 8 waves per 64-page corpus the
+        non-overlapped first-upload + last-fetch ends shrink from ~2/4 of
+        the run to ~2/8 — while per-wave RPC floors stay amortized. The
+        memory bound still shrinks waves for tall pages (largest per-group
+        mask plane under the device HBM budget — see _hbm_budget).
         FOCR_NCC_WAVE overrides."""
         env = _wave_size()
         if env is not None:
             return env
         if not pages:
-            return 16
+            return 8
         H, W = pages[0].shape
         per = 0
         for g in self.groups:
@@ -422,7 +427,7 @@ class NccMatcher:
             WB = pallas_ncc.word_stride(W, g.nw) * 8
             per = max(per, Hs8 * Tp * WB)
         if per == 0:
-            return 16
+            return 8
         # the memory bound must dominate the throughput floor: a wave dips
         # below 8 pages (and below the dispatch's {1,2,4} padding steps)
         # whenever one group's mask plane alone approaches the HBM budget —
@@ -430,7 +435,7 @@ class NccMatcher:
         # on tall-page/large-bank configs
         fit = _hbm_budget() // per
         if fit >= 8:
-            return min(16, fit // 8 * 8)
+            return 8
         # match the dispatch's {1, 2, 4} padding steps so the PADDED batch
         # stays within the bound too
         return 4 if fit >= 4 else 2 if fit >= 2 else 1

@@ -510,16 +510,23 @@ def _compact_hits(
     oh = (sel0 & (cum0 > j1e)).astype(jnp.uint32)
     v = jnp.sum(raw * oh, axis=2)  # [B, K] u32
 
-    # L-1: the jb-th set bit of the owning word, in-register (no gather)
-    bits = (
-        v[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    ) & jnp.uint32(1)
-    tri32 = jnp.asarray(np.triu(np.ones((32, 32), np.float32)))
-    cumb = _triu_cum(bits.astype(jnp.bfloat16), tri32.astype(jnp.bfloat16))
-    bit = (cumb <= jb.astype(jnp.float32)[:, :, None]).sum(
-        axis=2, dtype=jnp.int32
-    )
-    bit = jnp.minimum(bit, 31)
+    # L-1: the jb-th set bit of the owning word — branchless binary search
+    # by half-window popcounts (5 fused elementwise steps over [B, K]).
+    # Replaces a [B, K, 32] bit expansion + triangular matmul + compare-sum:
+    # that version materialized 32x the data and ran a tiny-N MXU dot per
+    # slot; this one is pure VPU work XLA fuses into one pass. Exact for
+    # found slots (jb < popcount(v) there); elsewhere bit is garbage and pos
+    # is masked below, exactly as before.
+    bit = jnp.zeros_like(jb)
+    rem = jb
+    vv = v
+    for w in (16, 8, 4, 2, 1):
+        lowmask = jnp.uint32((1 << w) - 1)
+        clow = jax.lax.population_count(vv & lowmask).astype(jnp.int32)
+        go_hi = rem >= clow
+        rem = jnp.where(go_hi, rem - clow, rem)
+        bit = bit + jnp.where(go_hi, jnp.int32(w), jnp.int32(0))
+        vv = jnp.where(go_hi, vv >> jnp.uint32(w), vv & lowmask)
 
     found = p[None] < jnp.minimum(nz_hits, jnp.int32(K))[:, None]
     pos = jnp.where(found, y * jnp.int32(WB * 8) + word * 32 + bit, 0)
