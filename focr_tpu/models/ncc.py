@@ -569,9 +569,15 @@ class NccMatcher:
             # uploading/sweeping behind it, so the pipeline deepens for the
             # rest of the run. Depth changes no compiled shape, making this
             # the one transport-adaptive knob that is compile-hazard-free.
+            # depth 3 default: at 8-page waves the per-wave latency share
+            # doubles vs the old 16-page waves, and depth 2 measured 35
+            # pages/s where depth 3 ran 63-80 on the same corpus (the
+            # adaptive bump below only reacts to 3x-median STALLS, not to
+            # uniform latency, so the start value must already cover the
+            # steady state)
             env_depth = os.environ.get("FOCR_NCC_DEPTH")
             state = {
-                "depth": int(env_depth) if env_depth else 2,
+                "depth": int(env_depth) if env_depth else 3,
                 "fixed": bool(env_depth),
                 "hist": [],
             }

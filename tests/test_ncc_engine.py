@@ -318,7 +318,7 @@ def test_adaptive_pipeline_depth(mono_font_path, monkeypatch):
         return m, key
 
     m0, want = run(stall=False)
-    assert m0._last_depth == 2
+    assert m0._last_depth == 3
     m1, got = run(stall=True)
     assert got == want
-    assert m1._last_depth > 2, "stall should have deepened the pipeline"
+    assert m1._last_depth > 3, "stall should have deepened the pipeline"
