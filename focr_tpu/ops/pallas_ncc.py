@@ -212,6 +212,36 @@ def _candidates_impl(
     kesc: int = 0,
 ):
     """Shared batched implementation; see ncc_candidates_pallas[_batch]."""
+    B = imgs.shape[0]
+    T = needles.shape[0]
+    W1 = word_stride(imgs.shape[2], nw) * 32
+    mask_bytes, rcnt_tm, Hs8, Tp = _sweep_impl(
+        imgs, needles, s_n, s2_n, threshold, nw, nh, eps, interpret
+    )
+    WB = W1 // 8
+    pos, hcnt, nzh = _compact_hits(mask_bytes, rcnt_tm, B, T, Tp, Hs8, WB, caph)
+    if wire == "delta":
+        d16, esc = _encode_delta(
+            pos, hcnt, nzh, max(capw, 1), max(kesc, 1)
+        )
+        return d16, esc, hcnt, nzh
+    return (*_pack_pos(pos, Hs8 * WB * 8), hcnt, nzh)
+
+
+def _sweep_impl(
+    imgs: jax.Array,  # [B, H, W] inverted pages (u8/i32 values 0..255)
+    needles: jax.Array,  # [T, nh, nw] u8
+    s_n: jax.Array,  # [T] i64 needle sums
+    s2_n: jax.Array,  # [T] i64 needle sum-of-squares
+    threshold: jax.Array,  # f32 scalar
+    nw: int,
+    nh: int,
+    eps: float,
+    interpret: bool,
+):
+    """The sweep stage: window stats + banded kernel dispatch, up to the raw
+    mask-byte plane. Returns (mask_bytes [B, Hs8, Tp, WB] u8, rcnt_tm
+    [B, Tp, Hs8] i32 t-major row counts, Hs8, Tp)."""
     from focr_tpu.ops.ncc import window_stats
 
     B, H, W = imgs.shape
@@ -326,13 +356,7 @@ def _candidates_impl(
         )
     # band-major [B, n_bands, Tp, tr] -> t-major [B, Tp, Hs8] (scan order)
     rcnt_tm = rcnt_bm.transpose(0, 2, 1, 3).reshape(B, Tp, Hs8)
-    pos, hcnt, nzh = _compact_hits(mask_bytes, rcnt_tm, B, T, Tp, Hs8, WB, caph)
-    if wire == "delta":
-        d16, esc = _encode_delta(
-            pos, hcnt, nzh, max(capw, 1), max(kesc, 1)
-        )
-        return d16, esc, hcnt, nzh
-    return (*_pack_pos(pos, Hs8 * WB * 8), hcnt, nzh)
+    return mask_bytes, rcnt_tm, Hs8, Tp
 
 
 _RPB = 32  # rank-compaction block granularity: mask rows per block (the
