@@ -417,15 +417,19 @@ class NccMatcher:
             return env
         if not pages:
             return 8
-        H, W = pages[0].shape
+        # the memory bound is the max per-group mask plane over EVERY page
+        # shape in the corpus, not pages[0]: _dispatch_wave buckets by shape
+        # WITHIN a wave, so a small-pages-first corpus sized from its first
+        # page would overshoot the budget on a later tall-page bucket
         per = 0
-        for g in self.groups:
-            if g.nh >= H or g.nw >= W:
-                continue
-            Hs8 = pallas_ncc.mask_plane_rows(H, W, g.nw, g.nh)
-            Tp = pallas_ncc.pad_t(len(g.needle_ids))
-            WB = pallas_ncc.word_stride(W, g.nw) * 8
-            per = max(per, Hs8 * Tp * WB)
+        for H, W in {p.shape for p in pages}:
+            for g in self.groups:
+                if g.nh >= H or g.nw >= W:
+                    continue
+                Hs8 = pallas_ncc.mask_plane_rows(H, W, g.nw, g.nh)
+                Tp = pallas_ncc.pad_t(len(g.needle_ids))
+                WB = pallas_ncc.word_stride(W, g.nw) * 8
+                per = max(per, Hs8 * Tp * WB)
         if per == 0:
             return 8
         # the memory bound must dominate the throughput floor: a wave dips

@@ -362,7 +362,7 @@ int64_t focr_post_sort_winners(
     int64_t maxk = 0;
     for (int64_t i = 0; i < n; ++i) {
         a[i].k = key[i];
-        a[i].i = static_cast<int32_t>(i);
+        a[i].i = i;
         if (key[i] > maxk) maxk = key[i];
     }
     int passes = 1;  // only digits the max key reaches (page keys fit 3)

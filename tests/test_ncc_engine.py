@@ -322,3 +322,71 @@ def test_adaptive_pipeline_depth(mono_font_path, monkeypatch):
     m1, got = run(stall=True)
     assert got == want
     assert m1._last_depth > 3, "stall should have deepened the pipeline"
+
+
+def test_mixed_shape_corpus_waves_sized_from_max_shape(
+    monkeypatch, mono_font_path
+):
+    """Wave sizing must bound the PADDED wave x mask plane for EVERY shape
+    bucket in a mixed-shape corpus, not just pages[0]'s shape
+    (models/ncc.py::_wave_for): _dispatch_wave buckets by shape WITHIN a
+    wave, so a small-pages-first corpus sized from its first page would
+    overshoot the HBM budget when a later bucket holds 2500x2000 pages.
+    The reference's page fan-out is order-independent (ncc.rs:839-847)."""
+    from focr_tpu.fonts.ft import Face as FtFace
+    from focr_tpu.io.synth import synthesize_page
+    from focr_tpu.models import ncc as ncc_mod
+    from focr_tpu.models.types import DecodeOptions
+    from focr_tpu.ops import pallas_ncc
+
+    face = FtFace(mono_font_path)
+    ropts = RenderOptions(size=11.0)
+    dopts = DecodeOptions(
+        x_start=5, y_start=6, line_height=13, line_advance=15, width=110
+    )
+    small = synthesize_page(face, ["AB01"], dopts, ropts, "AB01", (64, 128))
+    # tall pages are blank (inverted sum 0 -> no crop, no device sweep), so
+    # the test exercises the sizing arithmetic without a 2500x2000 interpret
+    # sweep; the budget invariant under test is shape-only arithmetic
+    tall = np.full((2500, 2000), 255, np.uint8)
+    pages = [small] * 4 + [tall] * 8
+
+    monkeypatch.delenv("FOCR_NCC_WAVE", raising=False)
+    m = NccMatcher(face, "AB01", ropts, x_bits=0)
+
+    def plane(H, W):
+        per = 0
+        for g in m.groups:
+            if g.nh >= H or g.nw >= W:
+                continue
+            Hs8 = pallas_ncc.mask_plane_rows(H, W, g.nw, g.nh)
+            Tp = pallas_ncc.pad_t(len(g.needle_ids))
+            WB = pallas_ncc.word_stride(W, g.nw) * 8
+            per = max(per, Hs8 * Tp * WB)
+        return per
+
+    # budget admits 3 tall planes: sizing from the small first page (the
+    # former bug) would pad the tall bucket to 4+ pages and overshoot
+    budget = plane(2500, 2000) * 3
+    monkeypatch.setattr(ncc_mod, "_hbm_budget", lambda: budget)
+
+    seen: list[list[tuple[int, int]]] = []
+    orig = NccMatcher._dispatch_wave
+
+    def spy(self, batch, *a, **k):
+        seen.append([p.shape for p in batch])
+        return orig(self, batch, *a, **k)
+
+    monkeypatch.setattr(NccMatcher, "_dispatch_wave", spy)
+    hits = m.get_hits_many(pages)
+    assert len(hits) == len(pages)
+    assert all(h == [] for h in hits[4:])  # blank talls decode to nothing
+    assert seen
+    for shapes in seen:
+        counts: dict[tuple[int, int], int] = {}
+        for s in shapes:
+            counts[s] = counts.get(s, 0) + 1
+        for (H, W), B in counts.items():
+            # _dispatch_wave's page-axis padding steps: {1, 2, 4, 8k}
+            Bp = B if B in (1, 2) else 4 if B <= 4 else -(-B // 8) * 8
+            assert Bp * plane(H, W) <= budget, (H, W, B, Bp)

@@ -65,8 +65,14 @@ def main() -> int:
                 (g.nh, g.nw): 2 if g.nw % 2 == 0 else 4 for g in m.groups
             }
             if wire == "delta":
-                # and the delta wire's byte-overflow redo ladder with it
-                m._capb = {(g.nh, g.nw): 2 for g in m.groups}
+                # ... and the delta wire's stream/escape redo ladders with
+                # it: a 2-slot u16 stream rung (_capw) guarantees the
+                # wire-overflow redo in models/ncc.py::_collect_page fires
+                # under real Mosaic lowering; a 1-slot escape rung (_kesc)
+                # exercises the terminal escape redo whenever the page's
+                # deltas escape at all
+                m._capw = {(g.nh, g.nw): 2 for g in m.groups}
+                m._kesc = {(g.nh, g.nw): 1 for g in m.groups}
             mode = f"cap-redo/{wire}"
         if seed % 3 == 2:
             mode = f"wave/{wire}"
@@ -90,7 +96,17 @@ def main() -> int:
             ok = key(hd) == key(ho)
             nh = len(hd)
         bad += not ok
-        print(f"config {seed} [{mode}]: {nh} hits {'OK' if ok else 'MISMATCH'}",
+        note = ""
+        if mode == "cap-redo/delta":
+            # prove the forced rungs actually drove the redo ladder: any
+            # group with >2 candidates must have grown its stream rung
+            grown = sum(1 for v in m._capw.values() if v > 2)
+            note = f" (capw grew in {grown}/{len(m._capw)} groups)"
+            if not grown and nh > 2:
+                bad += 1
+                note += " REDO-LADDER-NOT-EXERCISED"
+        print(f"config {seed} [{mode}]: {nh} hits "
+              f"{'OK' if ok else 'MISMATCH'}{note}",
               file=sys.stderr)
     print(f"{'PASS' if not bad else 'FAIL'}: {n - bad}/{n} configs bit-identical",
           file=sys.stderr)
