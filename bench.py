@@ -193,9 +193,13 @@ def bench_focr_device(dec, pages: np.ndarray, reps: int) -> tuple[float, float]:
     return pps, mfu
 
 
-def bench_prop(reps: int) -> float:
+def bench_prop(reps: int) -> tuple[float, dict, list, list]:
     """Proportional-font decode throughput (the lax.scan sequential device
     path, models/focr_prop.py) on the canonical grid with DejaVu Sans.
+    Returns (best pages/s, spread, per-rep seconds, per-rep refetch counts)
+    — the per-rep records make a slow rep attributable from the JSON alone:
+    a stalled rep with refetches=0 was a transport stall, one with
+    refetches>0 paid the decode_lines full-buffer under-guess miss.
 
     Parity anchor: the device decode of page 0 must be TEXT-IDENTICAL to the
     host oracle's decode (engine-vs-engine, the only valid comparison —
@@ -233,25 +237,32 @@ def bench_prop(reps: int) -> float:
     srcs = [
         [pages[i].copy() for i in perm_rng.permutation(n_pages)] for _ in range(reps)
     ]
+    from focr_tpu.models import focr_prop
+
     times = []
+    refetches = []
     for src in srcs:
+        r0 = focr_prop.refetch_total
         t0 = time.perf_counter()
         run_all(src)
         times.append(time.perf_counter() - t0)
+        refetches.append(focr_prop.refetch_total - r0)
     best = min(times)
+    spread = _spread(times, n_pages)
     print(
-        f"# prop {n_pages / best:.1f} pages/s | spread {_spread(times, n_pages)}",
+        f"# prop {n_pages / best:.1f} pages/s | spread {spread} | "
+        f"refetches {sum(refetches)}",
         file=sys.stderr,
     )
-    return n_pages / best
+    return n_pages / best, spread, times, refetches
 
 
-def bench_ncc(face, reps: int) -> tuple[float, float | None]:
+def bench_ncc(face, reps: int) -> tuple[float, tuple[float, float] | None]:
     """Dense-page ncc corpus (x-bits 2, the README.md:56 workload shape):
     74-letter default alphabet, 4 subpixel offsets, ~tens of thousands of
     raw hits per page; full pipeline = device sweep + exact host replay +
-    post-processing into text lines. Returns (pages/sec, device ms/page or
-    None off-TPU — see bench_ncc_device)."""
+    post-processing into text lines. Returns (pages/sec, (full, sweep)
+    device ms/page or None off-TPU — see bench_ncc_device)."""
     from focr_tpu.models.ncc import NccMatcher
     from focr_tpu.models.post import line_matches_truth, process_hits_text
     from focr_tpu.models.types import DecodeOptions, NCC_DEFAULT_ALPHABET, RenderOptions
@@ -301,19 +312,24 @@ def bench_ncc(face, reps: int) -> tuple[float, float | None]:
         f"spread {_spread(times, n_pages)}",
         file=sys.stderr,
     )
-    dev_ms = bench_ncc_device(matcher, pages[:16], max(reps, 4))
-    return n_pages / best, dev_ms
+    dev = bench_ncc_device(matcher, pages[:16], max(reps, 4))
+    return n_pages / best, dev
 
 
-def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
+def bench_ncc_device(
+    matcher, pages: list, reps: int
+) -> tuple[float, float] | None:
     """Device-only ncc sweep+compaction ms/page (isolates the kernel from
     the transport so regressions are attributable from the JSON alone, like
     focr's device metric): pre-upload distinct full-page wave buffers, then
     enqueue every rep's fused group sweeps and block ONCE without fetching.
     Full-page sweeps (no ink-bbox crop), so this upper-bounds the pipeline's
-    per-page device cost at the matcher's grown candidate caps. None when
-    the matcher is not on the Pallas kernel (off-TPU that would time
-    interpret mode — meaningless and near-unbounded)."""
+    per-page device cost at the matcher's grown candidate caps. Also times
+    the SWEEP stage alone (mask plane + row counts, checksum-fenced) so the
+    sweep/compaction split is on the driver record every round — compact =
+    full - sweep. Returns (full_ms_page, sweep_ms_page); None when the
+    matcher is not on the Pallas kernel (off-TPU that would time interpret
+    mode — meaningless and near-unbounded)."""
     import jax
     import jax.numpy as jnp
 
@@ -332,7 +348,9 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
     for grp, dev in zip(matcher.groups, matcher._device_groups(None)):
         if grp.nh >= H or grp.nw >= W:
             continue
-        if not pallas_ncc.pallas_supported(H, W, grp.nw, grp.nh, matcher.threshold):
+        if not pallas_ncc.pallas_supported(
+            H, W, grp.nw, grp.nh, matcher.threshold, T=len(grp.needle_ids)
+        ):
             continue
         key = (grp.nh, grp.nw)
         calls.append((
@@ -351,17 +369,42 @@ def bench_ncc_device(matcher, pages: list, reps: int) -> float | None:
             for grp, dev, c, cw, ke in calls
         ]
 
-    outs = sweep(bufs[0])
-    _force(outs)  # compile
-    # pre-compile the fence for the measured leaf signature (see
-    # bench_focr_device)
-    _force([o for _ in bufs for o in outs])
-    t0 = time.perf_counter()
-    outs = [o for b in bufs for o in sweep(b)]
-    _force(outs)
-    dev_ms = (time.perf_counter() - t0) / (reps * len(pages)) * 1e3
-    print(f"# ncc device sweep+compact {dev_ms:.2f} ms/page", file=sys.stderr)
-    return dev_ms
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("nw", "nh"))
+    def sweep_stage(b, needles, s_n, s2_n, thr, *, nw, nh):
+        # the sweep alone (window stats + banded kernel), reduced to
+        # checksums so the fence forces execution without fetching planes
+        mask_bytes, rcnt_tm, _, _ = pallas_ncc._sweep_impl(
+            b, needles, s_n, s2_n, thr, nw, nh, 1e-3, False
+        )
+        return jnp.sum(mask_bytes.astype(jnp.int32)), jnp.sum(rcnt_tm)
+
+    def sweep_only(b):
+        return [
+            sweep_stage(b, dev[0], dev[1], dev[2], dev[3], nw=grp.nw, nh=grp.nh)
+            for grp, dev, _, _, _ in calls
+        ]
+
+    def timed(fn):
+        outs = fn(bufs[0])
+        _force(outs)  # compile
+        # pre-compile the fence for the measured leaf signature (see
+        # bench_focr_device)
+        _force([o for _ in bufs for o in outs])
+        t0 = time.perf_counter()
+        outs = [o for b in bufs for o in fn(b)]
+        _force(outs)
+        return (time.perf_counter() - t0) / (reps * len(pages)) * 1e3
+
+    dev_ms = timed(sweep)
+    sweep_ms = timed(sweep_only)
+    print(
+        f"# ncc device sweep+compact {dev_ms:.2f} ms/page "
+        f"(sweep {sweep_ms:.2f} + compact {dev_ms - sweep_ms:.2f})",
+        file=sys.stderr,
+    )
+    return dev_ms, sweep_ms
 
 
 def _retry_once(label, fn):
@@ -402,19 +445,30 @@ def main() -> None:
             # full rep count: the d2h direction (ncc's bottleneck) swings
             # several-fold WITHIN a window, so more best-of draws directly
             # de-noise this metric (spread still records the distribution)
-            ncc_pps, ncc_dev_ms = _retry_once(
+            ncc_pps, ncc_dev = _retry_once(
                 "ncc", lambda: bench_ncc(face, reps)
             )
             extra["ncc_dense_pages_per_sec"] = round(ncc_pps, 2)
-            if ncc_dev_ms is not None:
-                extra["ncc_device_ms_per_page"] = round(ncc_dev_ms, 3)
+            if ncc_dev is not None:
+                dev_ms, sweep_ms = ncc_dev
+                extra["ncc_device_ms_per_page"] = round(dev_ms, 3)
+                extra["ncc_sweep_ms_page"] = round(sweep_ms, 3)
+                extra["ncc_compact_ms_page"] = round(dev_ms - sweep_ms, 3)
         except Exception as e:  # noqa: BLE001 - keep the focr record alive
             print(f"# ncc bench failed twice: {e}", file=sys.stderr)
     if os.environ.get("BENCH_PROP", "1") != "0":
         try:
-            extra["prop_pages_per_sec"] = round(
-                _retry_once("prop", lambda: bench_prop(max(reps - 2, 3))), 2
+            # full rep count (r4 ran reps-2=9, where _spread's p05 is the
+            # MINIMUM draw — the recorded tail was a single worst-RPC
+            # artifact by construction; 11 reps makes p05 the second-worst,
+            # matching the focr/ncc treatment)
+            prop_pps, prop_spread, prop_times, prop_ref = _retry_once(
+                "prop", lambda: bench_prop(reps)
             )
+            extra["prop_pages_per_sec"] = round(prop_pps, 2)
+            extra["prop_spread_pages_per_sec"] = prop_spread
+            extra["prop_rep_seconds"] = [round(t, 3) for t in prop_times]
+            extra["prop_refetches"] = prop_ref
         except Exception as e:  # noqa: BLE001
             print(f"# prop bench failed twice: {e}", file=sys.stderr)
 

@@ -39,6 +39,12 @@ def max_steps(bank: PropBank, crop_w: int) -> int:
 _CHUNK = 16  # scan steps per early-exit check
 _END_ID = 255  # u8 sentinel for "cursor passed the width bound"
 
+# process-wide count of full-buffer refetches (the decode_lines under-guess
+# miss path): a slow corpus rep is attributable from this counter — a rep
+# that stalled WITHOUT refetching was a transport stall, one that refetched
+# paid a second fetch of its own making (bench.py records the delta per rep)
+refetch_total = 0
+
 
 def make_prop_forward(bank: PropBank, crop_w: int, n_steps: int):
     """Build fn(strips [L, crop_h, crop_w] u8-valued inverted lines) ->
@@ -181,6 +187,7 @@ class PropDecoder:
         self._n_chunks = -(-self.n_steps // _CHUNK)
         self._guess = self._n_chunks * _CHUNK
         self._warmed: set[tuple] = set()  # buf shapes with the ladder compiled
+        self.n_refetches = 0  # full-buffer refetches (under-guess misses)
 
     def decode_lines(self, strips: np.ndarray) -> list[str]:
         """strips: [L, crop_h, crop_w] INVERTED line crops -> decoded texts."""
@@ -232,6 +239,9 @@ class PropDecoder:
             # under-guess: refetch the WHOLE buffer — a plain transfer with
             # no slice executable at all, so the miss path never compiles
             # (a guess-to-end remainder slice would have a fresh shape)
+            global refetch_total
+            refetch_total += 1
+            self.n_refetches += 1
             ids = np.asarray(buf).T[:L]
         if L:
             row_ends = ids == _END_ID

@@ -359,8 +359,8 @@ def test_mixed_shape_corpus_waves_sized_from_max_shape(
         for g in m.groups:
             if g.nh >= H or g.nw >= W:
                 continue
-            Hs8 = pallas_ncc.mask_plane_rows(H, W, g.nw, g.nh)
-            Tp = pallas_ncc.pad_t(len(g.needle_ids))
+            Hs8 = pallas_ncc.mask_plane_rows(H, W, g.nw, g.nh, len(g.needle_ids))
+            Tp = pallas_ncc.pad_t(len(g.needle_ids), H, W, g.nw, g.nh)
             WB = pallas_ncc.word_stride(W, g.nw) * 8
             per = max(per, Hs8 * Tp * WB)
         return per
