@@ -426,8 +426,10 @@ class NccMatcher:
             for g in self.groups:
                 if g.nh >= H or g.nw >= W:
                     continue
-                Hs8 = pallas_ncc.mask_plane_rows(H, W, g.nw, g.nh)
-                Tp = pallas_ncc.pad_t(len(g.needle_ids))
+                Hs8 = pallas_ncc.mask_plane_rows(
+                    H, W, g.nw, g.nh, len(g.needle_ids)
+                )
+                Tp = pallas_ncc.pad_t(len(g.needle_ids), H, W, g.nw, g.nh)
                 WB = pallas_ncc.word_stride(W, g.nw) * 8
                 per = max(per, Hs8 * Tp * WB)
         if per == 0:
@@ -957,7 +959,8 @@ class NccMatcher:
                     continue
                 tg = time.perf_counter()
                 if self.device_kernel == "pallas" and pallas_ncc.pallas_supported(
-                    Hc, Wc, grp.nw, grp.nh, self.threshold
+                    Hc, Wc, grp.nw, grp.nh, self.threshold,
+                    T=len(grp.needle_ids),
                 ):
                     key = (grp.nh, grp.nw)
                     caph = self._caph.get(key, _CAPH_START)

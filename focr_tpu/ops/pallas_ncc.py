@@ -42,23 +42,51 @@ _TROWS = 8  # minimum window rows per grid step (sublane-aligned); the
 # doubled ndmr tiles would blow the budget keep Pallas coverage)
 
 
-def _pick_trows(H: int, W: int, nw: int, nh: int) -> int:
+def _pick_trows(H: int, W: int, nw: int, nh: int, T: int | None = None) -> int:
     """Band height (window rows per grid step) for this config."""
-    if _vmem_rows(H, W, nw, nh, trows=16) < _VMEM_BUDGET:
+    if _vmem_rows(H, W, nw, nh, trows=16, T=T) < _VMEM_BUDGET:
         return 16
     return 8
 
 
-def tile_t(T: int) -> int:
-    """Needles per grid step: the full 128-sublane MXU m-dim, doubled to 256
-    for groups that need a second tile anyway — fewer grid steps means the
-    shared shifted-slice matrix S is rebuilt less often."""
-    return 128 if T <= 128 else 256
+_TT_MAX = 320  # per-tile needle cap above the unconditional 256: taken only
+# when the config's tr=8 band provably fits VMEM (tile_t checks), so the
+# canonical 296-needle group runs as ONE tile instead of two pow2 ones
 
 
-def pad_t(T: int) -> int:
+def tile_t(
+    T: int, H: int | None = None, W: int | None = None,
+    nw: int | None = None, nh: int | None = None,
+) -> int:
+    """Needles per grid step: T split into the FEWEST equal 32-aligned
+    tiles. 32-alignment is the u8 mask-byte out block's sublane
+    granularity; beyond it the MXU m-dim costs scale with the actual tile
+    height, so tight tiles beat pow2 ones — the canonical dense workload
+    (74 letters x 4 subpixel offsets = 296 needles) padded to two pow2
+    tiles (512) wasted 42% of every correlation dot and 42% of the mask
+    plane on zero needles; one 320-needle tile wastes 7.5% and builds the
+    shared shifted-slice matrix S once per band instead of twice. A tile
+    above 256 (up to _TT_MAX) is taken only when the page shape is known
+    and the tile's tr=8 band fits the VMEM budget; without a shape the
+    split stays within the unconditionally-safe 256."""
+    k = max(1, -(-T // _TT_MAX))
+    while True:
+        tt = -(-(-(-T // k)) // 32) * 32
+        if tt <= 256:
+            return tt
+        if H is not None and (
+            _vmem_rows(H, W, nw, nh, trows=8, Tt=tt) < _VMEM_BUDGET
+        ):
+            return tt
+        k += 1
+
+
+def pad_t(
+    T: int, H: int | None = None, W: int | None = None,
+    nw: int | None = None, nh: int | None = None,
+) -> int:
     """Needle count padded to a whole number of tiles."""
-    tt = tile_t(T)
+    tt = tile_t(T, H, W, nw, nh)
     return ((T + tt - 1) // tt) * tt
 
 
@@ -249,7 +277,7 @@ def _sweep_impl(
     n = nw * nh
     Hs = H - nh + 1  # window rows; search domain is y in [1, Hs)
     W1 = word_stride(W, nw) * 32
-    tr = _pick_trows(H, W, nw, nh)  # band height (16 when VMEM allows)
+    tr = _pick_trows(H, W, nw, nh, T)  # band height (16 when VMEM allows)
     Hs8 = ((Hs + tr - 1) // tr) * tr
 
     # images padded so every im2col slice [y0+dy, dx : dx+W1] is in bounds
@@ -282,8 +310,8 @@ def _sweep_impl(
 
     WW = W1 // 32
     WB = W1 // 8
-    Tt = tile_t(T)
-    Tp = pad_t(T)
+    Tt = tile_t(T, H, W, nw, nh)
+    Tp = pad_t(T, H, W, nw, nh)
     if Tp != T:  # pad with zero needles: rtn == +inf => no candidates
         ndm = jnp.pad(ndm, ((0, Tp - T), (0, 0)))
         sn_n = jnp.pad(sn_n, ((0, Tp - T), (0, 0)))
@@ -856,25 +884,32 @@ def word_stride(W: int, nw: int) -> int:
     return (W - nw + 1 + 31) // 32
 
 
-def mask_plane_rows(H: int, W: int, nw: int, nh: int) -> int:
+def mask_plane_rows(H: int, W: int, nw: int, nh: int, T: int | None = None) -> int:
     """Padded mask-plane row count (Hs rounded to the band height this
     config will run at) — for callers sizing device-memory budgets."""
-    tr = _pick_trows(H, W, nw, nh)
+    tr = _pick_trows(H, W, nw, nh, T)
     return ((H - nh + 1 + tr - 1) // tr) * tr
 
 
-def _vmem_rows(H: int, W: int, nw: int, nh: int, trows: int = _TROWS) -> int:
+def _vmem_rows(
+    H: int, W: int, nw: int, nh: int, trows: int = _TROWS,
+    T: int | None = None, Tt: int | None = None,
+) -> int:
     """VMEM bytes for the banded kernel (_kernel_rows) at band height
     trows: only one band is resident (double-buffered), so the page height
     drops out entirely — tall pages stream through. Width still enters via
-    the gmat packing matrix (quadratic in W1). Tt is taken at its 256
-    maximum (the needle count is not known here)."""
+    the gmat packing matrix (quadratic in W1). Tt (explicit, or derived
+    from T + this config) is the per-step needle tile; without either, the
+    256 bound — sound because tile_t only exceeds 256 when it has ITSELF
+    verified this config's fit, so a T-less gate at 256 never admits a
+    config whose real tile overflows."""
     W1 = word_stride(W, nw) * 32
     Wp = W1 + nw - 1
     band = trows + nh - 1
     brows = -(-band // trows) * trows  # aligned-chunk img block rows
     Ks = band * nw
-    Tt = 256
+    if Tt is None:
+        Tt = 256 if T is None else tile_t(T, H, W, nw, nh)
     return (
         2 * 4 * brows * Wp  # img band x2 (pipeline double buffering)
         + 2 * 2 * 4 * trows * W1  # sp + s2p bands x2
@@ -890,11 +925,14 @@ def _vmem_rows(H: int, W: int, nw: int, nh: int, trows: int = _TROWS) -> int:
 _VMEM_BUDGET = 10 * 2**20
 
 
-def pallas_mode(H: int, W: int, nw: int, nh: int) -> str | None:
+def pallas_mode(
+    H: int, W: int, nw: int, nh: int, T: int | None = None
+) -> str | None:
     """Whether the banded kernel handles this configuration: 'rows'
     (row-band streaming — page height never enters the VMEM budget), or
     None (XLA fallback — e.g. needles wider than 16 px, or pages so WIDE
-    the packing matrix alone overflows VMEM)."""
+    the packing matrix alone overflows VMEM). ``T`` (the group's needle
+    count) sharpens the VMEM estimate to the config's actual tile size."""
     Hs = H - nh + 1
     if Hs < 8 or W - nw + 1 < 2 or nw > 16:
         return None
@@ -903,17 +941,18 @@ def pallas_mode(H: int, W: int, nw: int, nh: int) -> str | None:
     # no page-height gate: under the n·65025 < 2²⁴ bound above, window_stats
     # takes its MXU path (banded-selector matmul + nh-term adds), which
     # never forms H-length cumsums — arbitrarily tall pages stay exact
-    if _vmem_rows(H, W, nw, nh) < _VMEM_BUDGET:
+    if _vmem_rows(H, W, nw, nh, trows=8, T=T) < _VMEM_BUDGET:
         return "rows"
     return None
 
 
 def pallas_supported(
-    H: int, W: int, nw: int, nh: int, threshold: float, eps: float = 1e-3
+    H: int, W: int, nw: int, nh: int, threshold: float, eps: float = 1e-3,
+    T: int | None = None,
 ) -> bool:
     """Whether the Pallas path handles this configuration (exact-integer
     bounds, VMEM budget in either residency mode, positive algebraic
     threshold); callers use the XLA path otherwise."""
     if np.float32(threshold) - np.float32(eps) <= 0:
         return False  # num > c*den needs c > 0 to be equivalent to sim > c
-    return pallas_mode(H, W, nw, nh) is not None
+    return pallas_mode(H, W, nw, nh, T) is not None

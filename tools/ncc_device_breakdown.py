@@ -87,7 +87,8 @@ def main() -> None:
     out = {"n_pages": n_pages, "reps": reps, "groups": []}
     for grp, dev in zip(matcher.groups, matcher._device_groups(None)):
         if not pallas_ncc.pallas_supported(H, W, grp.nw, grp.nh,
-                                           matcher.threshold):
+                                           matcher.threshold,
+                                           T=len(grp.needle_ids)):
             continue
         key = (grp.nh, grp.nw)
         caph = matcher._caph.get(key, _CAPH_START)
