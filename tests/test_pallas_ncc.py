@@ -458,3 +458,30 @@ def test_pallas_caph_bump_redo(mono_font_path, monkeypatch):
     )
     assert key(m.get_hits(page)) == key(ho)  # second pass: bigger cap directly
     assert m._caph == grown  # sized to need: the same page never re-grows
+
+
+def test_tile_t_tight_32_aligned():
+    """Needle tiling contract (ops/pallas_ncc.py::tile_t): equal 32-aligned
+    tiles sized to the needle count, not pow2 rungs — the canonical dense
+    group (74 letters x 4 subpixel offsets = 296 needles) must run as ONE
+    320-tile on the canonical page (pow2 padding to 512 wasted 42% of every
+    correlation dot), and fall back to safe 160-tiles (same Tp) on pages
+    whose 320-band would overflow VMEM. pad_t must always be a whole
+    number of tiles covering T."""
+    for T in (1, 5, 31, 32, 74, 128, 129, 296, 300, 600, 1024):
+        for args in ((), (792, 662, 9, 17), (2500, 2000, 9, 13)):
+            tt = pallas_ncc.tile_t(T, *args)
+            tp = pallas_ncc.pad_t(T, *args)
+            assert tt % 32 == 0, (T, args, tt)
+            assert tp % tt == 0 and tp >= T, (T, args, tt, tp)
+            assert tp - T < tt, (T, args, tt, tp)  # fewest tiles
+            if not args:
+                assert tt <= 256  # shape-less callers stay in the safe cap
+    # the canonical dense config: one tight tile, 37.5% less than pow2
+    assert pallas_ncc.tile_t(296, 792, 662, 9, 17) == 320
+    assert pallas_ncc.pad_t(296, 792, 662, 9, 17) == 320
+    # wide page: the 320-band overflows VMEM, equal split keeps Tp at 320
+    assert pallas_ncc.tile_t(296, 2500, 2000, 9, 13) == 160
+    assert pallas_ncc.pad_t(296, 2500, 2000, 9, 13) == 320
+    # x-bits 0 (74 needles): tight 96 instead of 128
+    assert pallas_ncc.tile_t(74) == 96
