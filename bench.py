@@ -361,7 +361,9 @@ def bench_ncc_device(
     if not calls:  # nothing Pallas-able: a 0.0 reading would be misleading
         return None
 
-    def sweep(b):  # times the matcher's PRODUCTION wire encode too
+    def sweep(b):
+        # all groups of one wave, exactly the production dispatch set
+        # (models/ncc.py::_fused_sweep fuses these into one executable)
         return [
             ncc_ops_pallas_call_batch(
                 b, grp, dev, caph=c, wire=matcher.wire, capw=cw, kesc=ke
@@ -369,10 +371,7 @@ def bench_ncc_device(
             for grp, dev, c, cw, ke in calls
         ]
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("nw", "nh"))
-    def sweep_stage(b, needles, s_n, s2_n, thr, *, nw, nh):
+    def sweep_stage(b, needles, s_n, s2_n, thr, nw, nh):
         # the sweep alone (window stats + banded kernel), reduced to
         # checksums so the fence forces execution without fetching planes
         mask_bytes, rcnt_tm, _, _ = pallas_ncc._sweep_impl(
@@ -382,20 +381,31 @@ def bench_ncc_device(
 
     def sweep_only(b):
         return [
-            sweep_stage(b, dev[0], dev[1], dev[2], dev[3], nw=grp.nw, nh=grp.nh)
+            sweep_stage(b, dev[0], dev[1], dev[2], dev[3], grp.nw, grp.nh)
             for grp, dev, _, _, _ in calls
         ]
 
     def timed(fn):
-        outs = fn(bufs[0])
+        # CHAIN every rep inside ONE jitted call: a separate execute RPC
+        # through the remote transport costs ~8-10 ms regardless of payload
+        # (measured: one elementwise add on [16, 24576] times the same as
+        # 16 chained ones), which at 16 pages/rep would inflate a "device"
+        # floor by ~0.5-1 ms/page. One call per timing run amortizes the
+        # RPC to noise — this is the number a co-located host would see.
+        @jax.jit
+        def chained(bs):
+            return [fn(b) for b in bs]
+
+        bt = tuple(bufs)
+        outs = chained(bt)
         _force(outs)  # compile
         # pre-compile the fence for the measured leaf signature (see
         # bench_focr_device)
-        _force([o for _ in bufs for o in outs])
+        _force([outs, outs])
         t0 = time.perf_counter()
-        outs = [o for b in bufs for o in fn(b)]
+        outs = [chained(bt) for _ in range(2)]
         _force(outs)
-        return (time.perf_counter() - t0) / (reps * len(pages)) * 1e3
+        return (time.perf_counter() - t0) / (2 * reps * len(pages)) * 1e3
 
     dev_ms = timed(sweep)
     sweep_ms = timed(sweep_only)

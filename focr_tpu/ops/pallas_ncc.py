@@ -131,10 +131,15 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
                                      (folds the n2n>0 mask: +inf·finite
                                      den propagates to a false compare)
     sn_n   [Tt, 1]              f32  needle Σ / n
-    gmat   [W1, W1/8]           bf16 bit-packing matrix:
-                                     G[x, g] = 2^(x%8) · [x//8 == g]
-    bytes  [1, TR, Tt, W1/8]    u8 out block at (b, yt, tile, 0) — mask
-           bytes (byte g packs x in [8g, 8g+8))
+    gmat   [W1, W1/16]          bf16 bit-packing matrix:
+                                     G[x, g] = 2^(x%16) · [x//16 == g]
+                                     (powers of two are exact in bf16 at
+                                     any magnitude; sums accumulate f32)
+    hw     [1, TR, Tt, W1/16]   u16 out block at (b, yt, tile, 0) — mask
+           HALF-WORDS (halfword g packs x in [16g, 16g+16), bit b = x-16g).
+           16-bit packing so the compaction consumes the plane with NO
+           dtype bitcast: the former u8 plane's u8->u32 relayout was a
+           full-plane repack measured at ~1 ms/page on dense waves
     rcnt   [1, 1, Tt, TR]       i32 out block at (b, yt, tile, 0) into the
            band-major count plane [B, n_bands, Tp, TR] — per-mask-row
            candidate counts (mask row (t, y=yt*TR+r) at [b, yt, t, r]).
@@ -211,12 +216,13 @@ def _kernel_rows(thr_ref, img_ref, ndmr_ref, sp_ref, s2p_ref, rtn_ref,
         keepf = keep.astype(jnp.float32)
         packed = jnp.dot(
             keepf.astype(jnp.bfloat16), gmat, preferred_element_type=jnp.float32
-        )  # [Tt, W1/8 + 1] — exact: mask bytes 0..255, then the row count
-        WB = W1 // 8
+        )  # [Tt, W1/16 + 1] — exact: halfwords 0..65535 (sums of distinct
+        # powers of two, f32-accumulated), then the row count
+        NHW = W1 // 16
         bytes_ref[0, r, :, :] = (
-            packed[:, :WB].astype(jnp.int32).astype(jnp.uint8)
+            packed[:, :NHW].astype(jnp.int32).astype(jnp.uint16)
         )
-        rcnt_ref[0, 0, :, pl.ds(r, 1)] = packed[:, WB:].astype(jnp.int32)
+        rcnt_ref[0, 0, :, pl.ds(r, 1)] = packed[:, NHW:].astype(jnp.int32)
 
 
 def _pad_to_b(a: jax.Array, rows: int, cols: int) -> jax.Array:
@@ -250,7 +256,8 @@ def _candidates_impl(
     pos, hcnt, nzh = _compact_hits(mask_bytes, rcnt_tm, B, T, Tp, Hs8, WB, caph)
     if wire == "delta":
         d16, esc = _encode_delta(
-            pos, hcnt, nzh, max(capw, 1), max(kesc, 1)
+            pos, hcnt, nzh, max(capw, 1), max(kesc, 1),
+            plane_bits=Hs8 * WB * 8,
         )
         return d16, esc, hcnt, nzh
     return (*_pack_pos(pos, Hs8 * WB * 8), hcnt, nzh)
@@ -268,8 +275,8 @@ def _sweep_impl(
     interpret: bool,
 ):
     """The sweep stage: window stats + banded kernel dispatch, up to the raw
-    mask-byte plane. Returns (mask_bytes [B, Hs8, Tp, WB] u8, rcnt_tm
-    [B, Tp, Hs8] i32 t-major row counts, Hs8, Tp)."""
+    mask plane. Returns (mask_hw [B, Hs8, Tp, W1/16] u16 half-word bitmask,
+    rcnt_tm [B, Tp, Hs8] i32 t-major row counts, Hs8, Tp)."""
     from focr_tpu.ops.ncc import window_stats
 
     B, H, W = imgs.shape
@@ -308,8 +315,7 @@ def _sweep_impl(
     rtn = jnp.where(n2n > 0, jnp.sqrt(n2n), jnp.float32(jnp.inf))
     thr_arr = (threshold.astype(jnp.float32) - jnp.float32(eps)).reshape(1, 1)
 
-    WW = W1 // 32
-    WB = W1 // 8
+    NHW = W1 // 16
     Tt = tile_t(T, H, W, nw, nh)
     Tp = pad_t(T, H, W, nw, nh)
     if Tp != T:  # pad with zero needles: rtn == +inf => no candidates
@@ -318,13 +324,18 @@ def _sweep_impl(
         rtn = jnp.pad(rtn, ((0, Tp - T), (0, 0)),
                       constant_values=np.float32(np.inf))
 
-    # bit-packing matrix: G[x, g] = 2^(x % 8) iff x // 8 == g (powers of two
-    # ≤ 128: exact in bf16), plus a trailing all-ones column so the same
-    # matmul also yields each row's candidate COUNT (see _kernel_rows)
+    # bit-packing matrix: G[x, g] = 2^(x % 16) iff x // 16 == g (powers of
+    # two are exact in bf16 at any magnitude; the f32-accumulated sums of
+    # distinct powers <= 65535 are exact), plus a trailing all-ones column
+    # so the same matmul also yields each row's candidate COUNT
+    # (see _kernel_rows). 16-bit packing halves the pack matmul's n-dim vs
+    # bytes AND hands the compaction a plane it can consume with no dtype
+    # bitcast (the u8->u32 relayout was a full-plane repack, ~1 ms/page).
+    NHW = W1 // 16
     xs = np.arange(W1)
-    gm = np.zeros((W1, WB + 1), dtype=np.float32)
-    gm[xs, xs // 8] = (1 << (xs % 8)).astype(np.float32)
-    gm[:, WB] = 1.0
+    gm = np.zeros((W1, NHW + 1), dtype=np.float32)
+    gm[xs, xs // 16] = (1 << (xs % 16)).astype(np.float32)
+    gm[:, NHW] = 1.0
     gmat = jnp.asarray(gm).astype(jnp.bfloat16)
 
     # staticly pre-shifted needle tiles, dx-major to match the kernel's
@@ -378,7 +389,7 @@ def _sweep_impl(
     # constants, and Mosaic cannot legalize i64 (func.return (i64, i64))
     with jax.enable_x64(False):
         mask_bytes, rcnt_bm = _call_rows(
-            kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, cch * tr, tr,
+            kernel, grid, B, Hs8, Tp, Tt, NHW, W1, Ks, cch * tr, tr,
             img_t.shape[-1],
             interpret, thr_arr, img_t, ndmr, sp_t, s2p_t, rtn, sn_n, gmat,
         )
@@ -418,7 +429,7 @@ def _triu_cum(rows: jax.Array, tri: jax.Array) -> jax.Array:
 
 
 def _compact_hits(
-    mask_bytes: jax.Array,  # [B, Hs8, Tp, WB] u8 — kernel output, y-major
+    mask_hw: jax.Array,  # [B, Hs8, Tp, W1/16] u16 — kernel output, y-major
     rcnt_tm: jax.Array,  # [B, Tp, Hs8] i32 — kernel row counts, t-major
     B: int, T: int, Tp: int, Hs8: int, WB: int, caph: int,
 ):
@@ -436,37 +447,35 @@ def _compact_hits(
     TPU-first design notes: stream compaction via top_k / sort / full-plane
     cumsum costs 150-400ms per 32-page dense wave (TopK cliffs above k~32,
     sorts are comparator networks, XLA cumsum is log-n reduce-window
-    passes). Per-slot gathers are the other trap: each K-sized gather /
-    take_along_axis costs ~0.2-0.9ms per dense 16-page wave REGARDLESS of
-    row width (issue cost dominates), so this formulation keeps exactly TWO
-    of them — the L1 count-row gather and the L0 word-row gather — and
-    derives every exclusive-prefix lookup ("hits before the owning X")
-    without a gather: at block level as a scatter-max of the block prefix
-    table + a [K] running max (both tiny), and within gathered rows as a
-    masked max over the row's own prefix matmul (fuses into the compare
-    pass that locates the owning lane). Everything else is single-pass
+    passes). Per-slot gathers and scatters are the other trap: TPU has no
+    hardware gather, so each costs ~50-80ns PER ROW/ELEMENT regardless of
+    row width, with a further ~3x cliff when the source plane exceeds
+    ~25k rows. This formulation keeps exactly TWO gathers — the L1
+    count-row gather (from a tiny nblk-row table) and the L0 halfword-row
+    gather (quadded to stay under the row-count cliff) — and ONE packed
+    scatter-max, deriving every exclusive-prefix lookup ("hits before the
+    owning X") without further random access: at block level from the
+    packed scatter's running max, and within gathered rows as a masked
+    max over the row's own prefix matmul (fuses into the compare pass
+    that locates the owning lane). Everything else is single-pass
     popcount sums, fused compare-counts, and small triangular matmuls.
 
-      L2  block totals (_RPB mask rows/block) -> cumsum over blocks, then a
-          scatter histogram of the cumsums + one cumsum over [K] locates
-          every output slot's owning block (slots are an iota and the block
-          cumsums are sorted, so #{j: c2[j] <= p} for all p at once is just
-          cumsum(histogram(c2)) — nblk-insensitive, unlike a fused
-          compare-count, which pays K x nblk compares; jnp.searchsorted is
-          far worse still, an XLA gather-per-probe while loop measured at
-          218ms per 32-page wave). The exclusive prefix e2[blk[p]] comes
-          from the dual trick: scatter-max e2[j] into bin e2[j], cummax.
+      L2  block totals (_RPB mask rows/block) -> cumsum over blocks, then
+          ONE packed scatter-max + running max locates every output
+          slot's owning block AND its exclusive prefix (see the in-line
+          identity; jnp.searchsorted is far worse — an XLA
+          gather-per-probe while loop measured at 218ms per 32-page wave)
       L1  per-block row counts (emitted t-major by the kernel, which has
           the keep mask in registers — recomputing them here would
           popcount-reduce the whole mask plane, the compaction's largest
           HBM pass), gathered per slot [K, _RPB]; triangular-matmul prefix
           sums -> owning mask row (t, y)
-      L0  the owning row's raw 32-bit WORDS gathered straight from a
-          bitcast of the kernel's y-major plane [K, WW] (index arithmetic,
-          no transpose copy; word lanes beat byte lanes ~4x on the rank
-          math); per-word popcounts + the same matmul trick -> owning word,
-          whose value rides a onehot multiply-reduce out of the same pass
-      L-1 the owning word's 32 bits, unpacked in-register -> bit
+      L0  the owning row's 16-bit HALF-WORDS gathered straight from the
+          kernel's y-major u16 plane (index arithmetic, no transpose, no
+          dtype bitcast); per-halfword popcounts + the same matmul trick
+          -> owning halfword, whose value rides a onehot multiply-reduce
+          out of the same pass
+      L-1 the owning halfword's 16 bits, unpacked in-register -> bit
 
     Returns (pos [B, caph] i32 — the needle-LOCAL linear bit position
     y*(WB*8) + x per slot, ascending per needle = scan order, 0 padded —
@@ -495,23 +504,37 @@ def _compact_hits(
     K = caph
     p = jnp.arange(K, dtype=jnp.int32)
     bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    # owning block: first block whose inclusive total exceeds p, i.e.
-    # #{j : c2[j] <= p} = cumsum(histogram(c2))[p] (overflow -> bin K,
-    # dropped); see the docstring for why not compare-count/searchsorted
-    hist = jnp.zeros((B, K + 1), jnp.int32)
-    hist = hist.at[bidx, jnp.minimum(c2, K)].add(jnp.int32(1))
-    blk = jnp.minimum(
-        jnp.cumsum(hist[:, :K], axis=1, dtype=jnp.int32), nblk - 1
-    )  # [B, K]
-    # hits before the owning block: before2[p] = e2[blk[p]] with e2 the
-    # exclusive prefix, but gather-free — e2 is nondecreasing and block j
-    # owns slots [e2[j], c2[j]), so e2[blk[p]] = max{e2[j] : e2[j] <= p}:
-    # scatter-max e2[j] into bin e2[j], then a running max over slots.
-    # e2[0] == 0 seeds every slot, so the zeros init is exact.
+    # owning block + its exclusive prefix, from ONE packed scatter-max
+    # (TPU scatters pay ~50-80ns per element — the former histogram-add +
+    # scatter-max pair measured ~14 ms per dense 16-page wave; this halves
+    # it). Identity: with e2 the exclusive block prefix, block j owns slots
+    # [e2[j], c2[j]), and the owner of slot p is max{j : e2[j] <= p} —
+    # empty blocks before the owner share its e2 but have smaller j, and
+    # every block after it has e2 >= c2[owner] > p. So scatter-max the
+    # packed (e2[j]·nblk + j) into bin e2[j] and take a running max over
+    # slots: the max is lexicographic (e2, then j), both components
+    # nondecreasing along the run, and unpacking yields before2 = e2[owner]
+    # and blk = owner in one pass. e2[0] == 0 seeds slot 0, so the zeros
+    # init is exact (it decodes to block 0 with prefix 0).
     e2 = c2 - s2
-    bmax = jnp.zeros((B, K + 1), jnp.int32)
-    bmax = bmax.at[bidx, jnp.minimum(e2, K)].max(e2)
-    before2 = jax.lax.cummax(bmax[:, :K], axis=1)
+    if K * nblk + nblk < 2**31:
+        packed = jnp.minimum(e2, jnp.int32(K)) * jnp.int32(nblk) + jnp.arange(
+            nblk, dtype=jnp.int32
+        )
+        pmax = jnp.zeros((B, K + 1), jnp.int32)
+        pmax = pmax.at[bidx, jnp.minimum(e2, K)].max(packed)
+        run = jax.lax.cummax(pmax[:, :K], axis=1)
+        blk = run % jnp.int32(nblk)
+        before2 = run // jnp.int32(nblk)
+    else:  # packed key would overflow i32 (enormous planes): two scatters
+        hist = jnp.zeros((B, K + 1), jnp.int32)
+        hist = hist.at[bidx, jnp.minimum(c2, K)].add(jnp.int32(1))
+        blk = jnp.minimum(
+            jnp.cumsum(hist[:, :K], axis=1, dtype=jnp.int32), nblk - 1
+        )
+        bmax = jnp.zeros((B, K + 1), jnp.int32)
+        bmax = bmax.at[bidx, jnp.minimum(e2, K)].max(e2)
+        before2 = jax.lax.cummax(bmax[:, :K], axis=1)
     j2 = p[None] - before2  # rank within block (>= 0 for every slot)
 
     # L1: owning mask row within the block. Row totals <= WB*8 exceed bf16's
@@ -532,39 +555,54 @@ def _compact_hits(
     grow = blk * _RPB + rin  # [B, K] global t-major mask-row index
     t = grow // Hs8
     y = grow - t * Hs8
-    # L0: the owning row's raw 32-bit words, bitcast (little-endian: byte
-    # 4w+k of the row carries x in [32w+8k, 32w+8k+8), so word w covers
-    # x in [32w, 32w+32) with ascending bit = ascending x) and gathered
-    # from the natural y-major plane (row (t, y) lives at y-major row
-    # y*Tp + t — index arithmetic replaces a 16MB/page transposed copy).
-    # Pad-zone rows (only where found == False) can map past T-1: clamp so
-    # the discarded gather stays in bounds.
-    WW = WB // 4
-    words = jax.lax.bitcast_convert_type(
-        mask_bytes.reshape(B, Hs8 * Tp, WW, 4), jnp.uint32
-    )  # [B, Hs8*Tp, WW]
+    # L0: the owning row's 16-bit HALF-WORDS, consumed directly from the
+    # kernel's u16 plane (halfword h covers x in [16h, 16h+16) with
+    # ascending bit = ascending x — gmat packs 2^(x%16) at column x//16,
+    # no byte-order reinterpretation anywhere; the former u8 plane's
+    # u8->u32 bitcast was a full-plane relayout measured ~1 ms/page).
+    # Row (t, y) lives at y-major row y*Tp + t — index arithmetic replaces
+    # a 16MB/page transposed copy. The gather reads QUADDED rows — 4
+    # y-major mask rows (adjacent needles at the same y) per gathered
+    # row, a flat-order-preserving reshape — because TPU gather cost is
+    # per-DESCRIPTOR and jumps ~3x once the source exceeds ~25k rows
+    # (measured: K rows from a 176k-row plane 13 ms/wave, from the
+    # quadded 44k-row plane 7 including the unpack); the owning quarter
+    # is then selected by a onehot multiply-reduce, exact because exactly
+    # one lane is set. Pad-zone rows (only where found == False) can map
+    # past T-1: clamp so the discarded gather stays in bounds.
+    NHW = (WB * 8) // 16  # halfwords per mask row
+    words4 = mask_hw.reshape(B, (Hs8 * Tp) // 4, 4 * NHW)
     row_idx = jnp.minimum(y * Tp + t, Hs8 * Tp - 1)
-    raw = _rows(words, row_idx)  # [B, K, WW] u32
-    pcr = jax.lax.population_count(raw).astype(jnp.int32)  # <= 32: bf16-exact
-    tri_ww = jnp.asarray(np.triu(np.ones((WW, WW), np.float32)))
-    cum0 = _triu_cum(pcr.astype(jnp.bfloat16), tri_ww.astype(jnp.bfloat16))
+    raw4 = _rows(words4, row_idx >> 2)  # [B, K, 4*NHW] u16
+    oh4 = (
+        (row_idx & 3)[:, :, None] == jnp.arange(4, dtype=jnp.int32)
+    )  # [B, K, 4]
+    raw = jnp.sum(
+        raw4.reshape(B, K, 4, NHW) * oh4[..., None].astype(jnp.uint16),
+        axis=2,
+        dtype=jnp.uint16,
+    )  # [B, K, NHW] u16 — one nonzero term per sum: exact
+    pcr = jax.lax.population_count(raw).astype(jnp.int32)  # <= 16: bf16-exact
+    tri_hw = jnp.asarray(np.triu(np.ones((NHW, NHW), np.float32)))
+    cum0 = _triu_cum(pcr.astype(jnp.bfloat16), tri_hw.astype(jnp.bfloat16))
     j1e = j1[:, :, None]
     word = jnp.minimum(
-        (cum0 <= j1e).sum(axis=2, dtype=jnp.int32), WW - 1
+        (cum0 <= j1e).sum(axis=2, dtype=jnp.int32), NHW - 1
     )
     excl0 = cum0 - pcr.astype(jnp.float32)
     sel0 = excl0 <= j1e
     before0 = jnp.max(jnp.where(sel0, excl0, 0.0), axis=2)
-    jb = (j1 - before0).astype(jnp.int32)  # rank within word, < 32
-    # the owning word's VALUE rides a onehot multiply-reduce out of the
-    # same pass (for found slots cum0[-1] = row count > j1, so the onehot
-    # has exactly one lane set; elsewhere v is garbage and pos is masked)
-    oh = (sel0 & (cum0 > j1e)).astype(jnp.uint32)
-    v = jnp.sum(raw * oh, axis=2)  # [B, K] u32
+    jb = (j1 - before0).astype(jnp.int32)  # rank within halfword, < 16
+    # the owning halfword's VALUE rides a onehot multiply-reduce out of
+    # the same pass (for found slots cum0[-1] = row count > j1, so the
+    # onehot has exactly one lane set; elsewhere v is garbage and pos is
+    # masked)
+    oh = (sel0 & (cum0 > j1e)).astype(jnp.int32)
+    v = jnp.sum(raw.astype(jnp.int32) * oh, axis=2, dtype=jnp.int32)  # [B, K]
 
-    # L-1: the jb-th set bit of the owning word — branchless binary search
-    # by half-window popcounts (5 fused elementwise steps over [B, K]).
-    # Replaces a [B, K, 32] bit expansion + triangular matmul + compare-sum:
+    # L-1: the jb-th set bit of the owning halfword — branchless binary
+    # search by half-window popcounts (4 fused elementwise steps over
+    # [B, K]). Replaces a bit expansion + triangular matmul + compare-sum:
     # that version materialized 32x the data and ran a tiny-N MXU dot per
     # slot; this one is pure VPU work XLA fuses into one pass. Exact for
     # found slots (jb < popcount(v) there); elsewhere bit is garbage and pos
@@ -572,16 +610,16 @@ def _compact_hits(
     bit = jnp.zeros_like(jb)
     rem = jb
     vv = v
-    for w in (16, 8, 4, 2, 1):
-        lowmask = jnp.uint32((1 << w) - 1)
-        clow = jax.lax.population_count(vv & lowmask).astype(jnp.int32)
+    for w in (8, 4, 2, 1):
+        lowmask = jnp.int32((1 << w) - 1)
+        clow = jax.lax.population_count(vv & lowmask)
         go_hi = rem >= clow
         rem = jnp.where(go_hi, rem - clow, rem)
         bit = bit + jnp.where(go_hi, jnp.int32(w), jnp.int32(0))
-        vv = jnp.where(go_hi, vv >> jnp.uint32(w), vv & lowmask)
+        vv = jnp.where(go_hi, vv >> jnp.int32(w), vv & lowmask)
 
     found = p[None] < jnp.minimum(nz_hits, jnp.int32(K))[:, None]
-    pos = jnp.where(found, y * jnp.int32(WB * 8) + word * 32 + bit, 0)
+    pos = jnp.where(found, y * jnp.int32(WB * 8) + word * 16 + bit, 0)
     return pos, hcnt, nz_hits
 
 
@@ -637,6 +675,8 @@ def _encode_delta(
     nz: jax.Array,  # [B] i32 total candidates
     capw: int,
     kesc: int,
+    plane_bits: int = 1 << 24,  # position upper bound (f32-exactness gate
+    # for the onehot escape extraction; default keeps the scatter path)
 ) -> tuple[jax.Array, jax.Array]:
     """Fixed-width u16 delta encode of the candidate positions, on device.
 
@@ -695,12 +735,32 @@ def _encode_delta(
     is_esc = valid & (d >= jnp.int32(_ESC))
     rank = jnp.cumsum(is_esc.astype(jnp.int32), axis=1, dtype=jnp.int32)
     nesc = rank[:, -1]
-    # escape j lands at slot rank-1 (stream order); overflow/non-escape
-    # lanes route out of bounds and drop (XLA default scatter semantics)
-    idx = jnp.where(is_esc & (rank <= kesc), rank, jnp.int32(kesc + 1))
-    esc = jnp.zeros((B, 1 + kesc), jnp.uint32)
-    esc = esc.at[bidx, idx].set(d.astype(jnp.uint32), mode="drop")
-    esc = esc.at[:, 0].set(nesc.astype(jnp.uint32))
+    # escape r lands at slot r (stream order). Extraction is a onehot
+    # CONTRACTION, not a scatter: a [B, K] scatter pays ~50-80ns per
+    # element on TPU (measured ~9.5 ms per dense 16-page wave, almost
+    # always to extract ZERO escapes), while the masked [B, kesc, K]
+    # sum is a few fused passes. Exact in f32 despite the 2^24 mantissa:
+    # each (b, r) row of the onehot has at MOST ONE nonzero (rank is
+    # strictly increasing on escape lanes), so the "sum" is a single
+    # product of exact-f32 ints — valid whenever d < 2^24, guarded below
+    # (d < plane_bits; pages with >= 2^24 window positions keep the
+    # scatter).
+    if plane_bits < (1 << 24):
+        r = jnp.arange(1, kesc + 1, dtype=jnp.int32)
+        sel = is_esc[:, None, :] & (rank[:, None, :] == r[None, :, None])
+        vals = jnp.sum(
+            sel.astype(jnp.float32) * d.astype(jnp.float32)[:, None, :],
+            axis=2,
+        )  # [B, kesc] exact integers
+        esc = jnp.concatenate(
+            [nesc[:, None].astype(jnp.uint32), vals.astype(jnp.uint32)],
+            axis=1,
+        )
+    else:
+        idx = jnp.where(is_esc & (rank <= kesc), rank, jnp.int32(kesc + 1))
+        esc = jnp.zeros((B, 1 + kesc), jnp.uint32)
+        esc = esc.at[bidx, idx].set(d.astype(jnp.uint32), mode="drop")
+        esc = esc.at[:, 0].set(nesc.astype(jnp.uint32))
     return d16, esc
 
 
@@ -836,19 +896,19 @@ def ncc_candidates_pallas_batch(
     )
 
 
-def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, brows, tr, Wp,
+def _call_rows(kernel, grid, B, Hs8, Tp, Tt, NHW, W1, Ks, brows, tr, Wp,
                interpret, *args):
     """pallas_call wrapper for the banded kernel: the image input is the
     pre-banded [B, n_bands, brows, Wp] array (one aligned-chunk row band of
     brows = tr·cch >= band rows per grid step; the kernel reads the first
-    band rows); outputs are the y-major mask-byte plane [B, Hs8, Tp, WB]
-    and the band-major per-mask-row candidate counts
+    band rows); outputs are the y-major u16 half-word mask plane
+    [B, Hs8, Tp, NHW] and the band-major per-mask-row candidate counts
     [B, n_bands, Tp, tr] i32."""
     return pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((B, Hs8, Tp, WB), jnp.uint8),
+            jax.ShapeDtypeStruct((B, Hs8, Tp, NHW), jnp.uint16),
             jax.ShapeDtypeStruct((B, Hs8 // tr, Tp, tr), jnp.int32),
         ),
         in_specs=[
@@ -865,11 +925,11 @@ def _call_rows(kernel, grid, B, Hs8, Tp, Tt, WB, W1, Ks, brows, tr, Wp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Tt, 1), lambda b, i, yt: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W1, WB + 1), lambda b, i, yt: (0, 0),
+            pl.BlockSpec((W1, NHW + 1), lambda b, i, yt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tr, Tt, WB), lambda b, i, yt: (b, yt, i, 0),
+            pl.BlockSpec((1, tr, Tt, NHW), lambda b, i, yt: (b, yt, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Tt, tr), lambda b, i, yt: (b, yt, i, 0),
                          memory_space=pltpu.VMEM),
@@ -913,7 +973,7 @@ def _vmem_rows(
     return (
         2 * 4 * brows * Wp  # img band x2 (pipeline double buffering)
         + 2 * 2 * 4 * trows * W1  # sp + s2p bands x2
-        + 2 * W1 * (W1 // 8 + 1)  # gmat incl. count column (bf16)
+        + 2 * W1 * (W1 // 16 + 1)  # gmat incl. count column (bf16)
         + 2 * Ks * W1  # bf16 shifted-slice scratch
         + 2 * 2 * trows * Tt * Ks  # shifted needle tiles x2 (bf16)
         + 2 * 4 * Tt * W1  # acc + num transients

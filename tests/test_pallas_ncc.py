@@ -480,8 +480,15 @@ def test_tile_t_tight_32_aligned():
     # the canonical dense config: one tight tile, 37.5% less than pow2
     assert pallas_ncc.tile_t(296, 792, 662, 9, 17) == 320
     assert pallas_ncc.pad_t(296, 792, 662, 9, 17) == 320
-    # wide page: the 320-band overflows VMEM, equal split keeps Tp at 320
-    assert pallas_ncc.tile_t(296, 2500, 2000, 9, 13) == 160
-    assert pallas_ncc.pad_t(296, 2500, 2000, 9, 13) == 320
+    # wide page: a tile above 256 is legal ONLY with a verified VMEM fit
+    # (the specific choice moves with the kernel's VMEM model — e.g. the
+    # u16 half-word plane halved the gmat term and promoted this config
+    # from 160-tiles to one 320-tile)
+    tt = pallas_ncc.tile_t(296, 2500, 2000, 9, 13)
+    assert pallas_ncc.pad_t(296, 2500, 2000, 9, 13) % tt == 0
+    if tt > 256:
+        assert pallas_ncc._vmem_rows(
+            2500, 2000, 9, 13, trows=8, Tt=tt
+        ) < pallas_ncc._VMEM_BUDGET
     # x-bits 0 (74 needles): tight 96 instead of 128
     assert pallas_ncc.tile_t(74) == 96

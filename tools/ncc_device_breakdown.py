@@ -52,13 +52,22 @@ def _sweep_only(imgs, needles, s_n, s2_n, threshold, *, nw, nh):
 
 
 def _time(fn, bufs, reps):
-    outs = fn(bufs[0])
+    """Chain every rep inside ONE jitted call: each separate execute RPC
+    through the remote transport costs ~8-10 ms regardless of payload, which
+    would inflate a 16-page rep's reading by ~0.5 ms/page; one call per run
+    amortizes it to noise (the co-located number)."""
+    @jax.jit
+    def chained(bs):
+        return [fn(b) for b in bs]
+
+    bt = tuple(bufs)
+    outs = chained(bt)
     force(outs)
-    force([o for _ in bufs for o in (outs if isinstance(outs, (list, tuple)) else [outs])])
+    force([outs, outs])
     t0 = time.perf_counter()
-    outs = [fn(b) for b in bufs]
+    outs = [chained(bt) for _ in range(2)]
     force(outs)
-    return time.perf_counter() - t0
+    return (time.perf_counter() - t0) / 2
 
 
 def main() -> None:
@@ -121,6 +130,36 @@ def main() -> None:
 
     out["total_full_ms_page"] = round(
         sum(g["full_ms_page"] for g in out["groups"]), 3)
+
+    # the production dispatch fuses EVERY group into one executable
+    # (models/ncc.py::_fused_sweep), which lets XLA overlap one group's
+    # MXU-bound sweep with another's gather-bound compaction — time that
+    # too, or the per-group sum above overstates the pipeline's real floor
+    specs = []
+    for grp, dev in zip(matcher.groups, matcher._device_groups(None)):
+        if not pallas_ncc.pallas_supported(H, W, grp.nw, grp.nh,
+                                           matcher.threshold,
+                                           T=len(grp.needle_ids)):
+            continue
+        key = (grp.nh, grp.nw)
+        specs.append((
+            grp, dev, matcher._caph.get(key, _CAPH_START),
+            matcher._capw.get(key, _CAPW_START),
+            matcher._kesc.get(key, _KESC_START),
+        ))
+
+    @jax.jit
+    def fused(b):
+        return [
+            ncc_ops_pallas_call_batch(
+                b, grp, dev, caph=c, wire=matcher.wire, capw=cw, kesc=ke
+            )
+            for grp, dev, c, cw, ke in specs
+        ]
+
+    t_fused = _time(fused, bufs, reps)
+    out["fused_ms_page"] = round(t_fused / (reps * n_pages / 1e3), 3)
+    print(f"# fused all-groups: {out['fused_ms_page']} ms/page", file=sys.stderr)
     print(json.dumps(out))
 
 
