@@ -36,16 +36,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TROWS = 8  # minimum window rows per grid step (sublane-aligned); the
-# actual band height is picked per config by _pick_trows — 16 when the
-# VMEM budget allows (halving the grid-step count halves the per-step
-# fixed cost, measured ~8µs/step), 8 otherwise (wide/tall needles whose
+# actual band height is picked per config by _pick_trows — 32 or 16 when
+# the VMEM budget allows (fewer grid steps amortize the per-step fixed
+# cost, measured ~8µs/step), 8 otherwise (wide/tall needles whose
 # doubled ndmr tiles would blow the budget keep Pallas coverage)
 
 
 def _pick_trows(H: int, W: int, nw: int, nh: int, T: int | None = None) -> int:
-    """Band height (window rows per grid step) for this config."""
-    if _vmem_rows(H, W, nw, nh, trows=16, T=T) < _VMEM_BUDGET:
-        return 16
+    """Band height (window rows per grid step) for this config: the
+    largest of {32, 16, 8} whose band fits the VMEM budget — per-grid-step
+    fixed cost (~8µs: S rebuild, block swaps) is a measured ~0.2 ms/page
+    at 49 steps, so fewer, taller bands win whenever the doubled ndmr/img
+    blocks fit."""
+    for tr in (32, 16):
+        if _vmem_rows(H, W, nw, nh, trows=tr, T=T) < _VMEM_BUDGET:
+            return tr
     return 8
 
 
